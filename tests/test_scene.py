@@ -1,0 +1,92 @@
+"""Scene loading + compilation: cbox conventions, material packing, emitters."""
+
+import numpy as np
+
+from hijiki_tpu.scene.compile import compile_scene
+from hijiki_tpu.scene.model import (
+    Diffuse,
+    Emissive,
+    MATERIAL_TAG_SHIFT,
+    TAG_DIFFUSE,
+    TAG_DIFFUSECBOARD,
+    TAG_EMISSIVE,
+    TAG_MIRROR,
+)
+
+
+def test_cbox_materials(cbox_scene):
+    # MTL order: floor, light, porcelain, wall_blue, wall_gray, wall_red
+    mats = cbox_scene.materials
+    assert len(mats) == 6
+    assert isinstance(mats[1], Emissive)
+    assert mats[1].power == (15.0, 15.0, 15.0)
+    assert isinstance(mats[0], Diffuse)
+    np.testing.assert_allclose(mats[0].color, (0.455928, 0.446495, 0.427629))
+    # wall_red Kd
+    np.testing.assert_allclose(mats[5].color, (0.63, 0.065, 0.05))
+
+
+def test_cbox_geometry(cbox_scene):
+    # 6320 tri faces + 6 quad faces fan-triangulated = 6332 triangles
+    assert len(cbox_scene.objects) == 6332
+    assert cbox_scene.positions.shape == (3668, 3)
+    assert cbox_scene.normals.shape == (3668, 3)
+    cam = cbox_scene.camera
+    np.testing.assert_allclose(cam.position, [0.0, 0.91, 5.41])
+    assert abs(cam.fov - 27.7) < 1e-6
+    half = 0.5 * np.radians(-1.45)
+    np.testing.assert_allclose(cam.rotation, [np.sin(half), 0, 0, np.cos(half)], rtol=1e-6)
+
+
+def test_compiled_handles_and_emitters(cbox_scene):
+    import copy
+
+    scene = copy.deepcopy(cbox_scene)
+    scene.put_cbox_spheres()
+    cs = compile_scene(scene)
+    assert (cs.num_spheres, cs.num_quads, cs.num_triangles) == (2, 0, 6332)
+    # sphere materials come first in global shape order
+    tags = np.asarray(cs.materials) >> MATERIAL_TAG_SHIFT
+    assert tags[0] == TAG_MIRROR
+    assert tags[1] == TAG_DIFFUSECBOARD
+    # two emissive triangles (the light quad split in two), uniform pdf + cdf
+    assert cs.num_emitters == 2
+    np.testing.assert_allclose(cs.emitter_pdf[:2], [0.5, 0.5])
+    np.testing.assert_allclose(cs.emitter_cdf[:2], [0.5, 1.0])
+    em = np.asarray(cs.emitter_shape[:2])
+    assert np.all(tags[em] == TAG_EMISSIVE)
+    # emissive power table
+    np.testing.assert_allclose(np.asarray(cs.emissive_power[0]), [15.0, 15.0, 15.0])
+    # diffuse handles index into the diffuse table
+    dif = np.nonzero(tags == TAG_DIFFUSE)[0]
+    idxs = np.asarray(cs.materials)[dif] & ((1 << MATERIAL_TAG_SHIFT) - 1)
+    assert idxs.max() < cs.diffuse_color.shape[0]
+
+
+def test_bvh_structure(cbox_scene):
+    import copy
+
+    scene = copy.deepcopy(cbox_scene)
+    scene.put_cbox_spheres()
+    cs = compile_scene(scene)
+    n = cs.num_bvh_nodes
+    count = np.asarray(cs.bvh_count)
+    first = np.asarray(cs.bvh_first)
+    exit_ = np.asarray(cs.bvh_exit)
+    # leaf_size=1: every prim in exactly one leaf
+    assert count.sum() == cs.num_prims
+    order = np.asarray(cs.prim_shape_id)
+    assert sorted(order.tolist()) == list(range(cs.num_prims))
+    # threaded invariants: exits strictly increase past the node, root exit = n
+    assert exit_[0] == n
+    assert np.all(exit_ > np.arange(n))
+    assert np.all(exit_ <= n)
+    # interior first = self+1 (preorder left child)
+    interior = count == 0
+    assert np.all(first[interior] == np.nonzero(interior)[0] + 1)
+    # children AABBs contained in parent (left child = i+1)
+    amin = np.asarray(cs.bvh_aabb_min)
+    amax = np.asarray(cs.bvh_aabb_max)
+    par = np.nonzero(interior)[0]
+    assert np.all(amin[par] <= amin[par + 1] + 1e-6)
+    assert np.all(amax[par] >= amax[par + 1] - 1e-6)
