@@ -220,17 +220,23 @@ def intersect_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) ->
     )
 
 
-def occluded_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) -> jnp.ndarray:
+def occluded_bvh(
+    o, d, tmin, tmax, active=None, *, scene: CompiledScene, leaf_size: int = 1
+) -> jnp.ndarray:
     """Any-hit query for shadow rays (``intersectScene(ray)`` overload,
     ``shader/scene.glsl:92-96`` — the reference traces to closest hit and
-    discards it; we early-out per lane on first accepted hit)."""
+    discards it; we early-out per lane on first accepted hit). Lanes where
+    ``active`` is False skip traversal entirely and report unoccluded."""
     num_nodes = scene.num_bvh_nodes
     shape = o.shape[:-1]
     f32 = jnp.float32
     inv_d = f32(1.0) / d
     t_off = -o * inv_d
 
-    init = dict(cur=jnp.zeros(shape, jnp.int32), hit=jnp.zeros(shape, bool))
+    cur0 = jnp.zeros(shape, jnp.int32)
+    if active is not None:
+        cur0 = jnp.where(active, cur0, num_nodes)
+    init = dict(cur=cur0, hit=jnp.zeros(shape, bool))
 
     def cond(s):
         return jnp.any(s["cur"] < num_nodes)
