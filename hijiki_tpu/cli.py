@@ -1,0 +1,141 @@
+"""Command-line interface — argparse twin of the reference's ``Opt``
+(``src/main.rs:1426-1456``), plus the TPU-native extras (seed, previews,
+checkpointing, multi-chip).
+
+Usage:
+    python -m hijiki_tpu.cli [flags] scene.obj
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hijiki-tpu", description="TPU-native wavefront path tracer"
+    )
+    p.add_argument("scene", help="The scene (OBJ file) to render")
+    p.add_argument(
+        "--put-cbox-spheres",
+        action="store_true",
+        help="Add a mirror and a checkerboard sphere to the scene",
+    )
+    p.add_argument(
+        "--put-dielectric-sphere",
+        action="store_true",
+        help="Add a clear glass sphere (the reference's commented-out variant)",
+    )
+    p.add_argument(
+        "--use-bvh",
+        action="store_true",
+        help="Use a BVH to optimize intersections",
+    )
+    p.add_argument("-w", "--width", type=int, default=800)
+    p.add_argument("-H", "--height", type=int, default=600)
+    p.add_argument("-s", "--sample-count", type=int, default=64)
+    p.add_argument(
+        "--present-interval",
+        type=int,
+        default=0,
+        help="Write a PNG preview every N sweeps (0 = off)",
+    )
+    p.add_argument("-o", "--output-image", default="/tmp/output.exr")
+    p.add_argument("--preview-image", default="/tmp/preview.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--max-bounces", type=int, default=1000)
+    p.add_argument("--checkpoint", default=None, help="Checkpoint file to write/resume")
+    p.add_argument(
+        "--checkpoint-interval", type=int, default=0, help="Sweeps between checkpoints"
+    )
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="Shard sweeps/blocks over this many devices (jax mesh)",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    t0 = time.monotonic()
+    scene = load_obj_scene(args.scene)
+    if args.put_cbox_spheres:
+        scene.put_cbox_spheres()
+    if args.put_dielectric_sphere:
+        scene.put_dielectric_sphere()
+    compiled = compile_scene(scene)
+    print(
+        f"Compiled scene: {compiled.num_spheres} spheres, {compiled.num_quads} quads, "
+        f"{compiled.num_triangles} triangles, {compiled.num_emitters} emitters, "
+        f"{compiled.num_bvh_nodes} BVH nodes ({time.monotonic()-t0:.2f}s)"
+    )
+
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.sample_count,
+        block_size=args.block_size,
+        seed=args.seed,
+        use_bvh=args.use_bvh,
+        max_bounces=args.max_bounces,
+        preview_interval=args.present_interval,
+        preview_path=args.preview_image,
+    )
+
+    if args.devices > 1:
+        from hijiki_tpu.parallel.multichip import MultiChipRenderer
+
+        renderer = MultiChipRenderer(compiled, config, num_devices=args.devices)
+    elif args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            renderer = Renderer.resume_checkpoint(compiled, args.checkpoint)
+            print(f"Resumed from {args.checkpoint} at sweep {renderer.sweeps_done}")
+        else:
+            renderer = Renderer(compiled, config)
+    else:
+        renderer = Renderer(compiled, config)
+
+    print("Starting to render...")
+    last_ckpt = [renderer.sweeps_done]
+
+    def progress(done, total):
+        pct = 100.0 * done / total
+        sys.stdout.write(f"\rRendering... {pct:5.1f}% ({done}/{total} sweeps)")
+        sys.stdout.flush()
+        if (
+            args.checkpoint
+            and args.checkpoint_interval
+            and done - last_ckpt[0] >= args.checkpoint_interval
+        ):
+            renderer.save_checkpoint(args.checkpoint)
+            last_ckpt[0] = done
+
+    metrics = renderer.render(progress=progress)
+    print()
+    ray_count = metrics["primary_rays"]
+    print(
+        f"Integrated {ray_count} rays in {metrics['render_seconds']:.3f}s "
+        f"({metrics['rays_per_second']:.0f} rays/s, "
+        f"{metrics['spp_per_second']:.2f} spp/s)"
+    )
+    renderer.save_exr(args.output_image)
+    print(f"Wrote {args.output_image}")
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,213 @@
+"""The renderer driver: sweeps, film, checkpointing, metrics, previews.
+
+Replaces the reference's ``Renderer`` + per-block command loop
+(``src/main.rs:1143-1355``): on TPU a sweep traces every pixel of the image as
+one batched wavefront dispatch (jitted once, replayed per sweep), reconstructs
+with the bilateral filter, and accumulates into the persistent
+(rgb*weight, weight) framebuffer. The live winit preview window becomes
+periodic PNG snapshots (``preview_interval``); progressive accumulate +
+normalize-at-read semantics are identical (``shader/reconstruction.glsl:59,65``,
+``shader/preview.glsl:11``).
+
+Checkpoint/resume: the film plus the sweep cursor and the scheduler seed is a
+complete render state (the design the reference enables but never implements —
+SURVEY.md §5); ``save_checkpoint``/``resume_checkpoint`` snapshot it to .npz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hijiki_tpu.ops.camera import camera_rays
+from hijiki_tpu.ops.integrate import integrate
+from hijiki_tpu.ops.rng import seed_rng
+from hijiki_tpu.render.blocks import BlockScheduler, per_pixel_seeds
+from hijiki_tpu.render.reconstruct import normalize_film, reconstruct_sweep
+from hijiki_tpu.scene.compile import CompiledScene, scene_to_device
+from hijiki_tpu.utils.exr import write_exr, write_png
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """CLI-level options; defaults mirror the reference's ``Opt``
+    (``src/main.rs:1426-1456``: 800x600, 64 spp, preview every 128 blocks)."""
+
+    width: int = 800
+    height: int = 600
+    spp: int = 64
+    block_size: int = 128
+    seed: int = 0
+    use_bvh: bool = True
+    max_bounces: int = 1000
+    reconstruction_radius: int = 2  # src/main.rs:1284
+    reconstruction_stddev: float = 0.5  # src/main.rs:1285
+    preview_interval: int = 0  # sweeps between PNG previews; 0 = off
+    preview_path: str = "/tmp/hijiki_preview.png"
+    leaf_size: int = 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "block_size",
+        "use_bvh",
+        "max_bounces",
+        "radius",
+        "stddev",
+        "leaf_size",
+    ),
+)
+def render_sweep(
+    scene: CompiledScene,
+    block_seeds,
+    sample_offset,
+    *,
+    width: int,
+    height: int,
+    block_size: int,
+    use_bvh: bool,
+    max_bounces: int,
+    radius: int,
+    stddev: float,
+    leaf_size: int,
+):
+    """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
+    f32 = jnp.float32
+    H, W = height, width
+    seeds = per_pixel_seeds(W, H, block_size, block_seeds)
+    state = seed_rng(seeds)
+
+    y = jax.lax.broadcasted_iota(f32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(f32, (H, W), 1)
+    px = jnp.stack([x + sample_offset[0], y + sample_offset[1]], axis=-1)
+    o, d, tmin, tmax = camera_rays(
+        scene.cam_position,
+        scene.cam_rotation,
+        scene.cam_fov,
+        px,
+        jnp.asarray([W, H], f32),
+    )
+    out = integrate(
+        scene,
+        o,
+        d,
+        tmin,
+        tmax,
+        state,
+        max_bounces=max_bounces,
+        use_bvh=use_bvh,
+        leaf_size=leaf_size,
+    )
+    film_delta = reconstruct_sweep(
+        out.total,
+        out.normal,
+        out.albedo,
+        sample_offset,
+        block_size=block_size,
+        radius=radius,
+        stddev=stddev,
+    )
+    stats = dict(
+        mean_radiance=jnp.mean(out.total),
+        mean_depth=jnp.mean(out.depth),
+    )
+    return film_delta, stats
+
+
+class Renderer:
+    def __init__(self, compiled: CompiledScene, config: RenderConfig):
+        self.scene = scene_to_device(compiled)
+        self.config = config
+        self.scheduler = BlockScheduler(
+            config.width, config.height, config.block_size, config.seed
+        )
+        self.film = jnp.zeros((config.height, config.width, 4), jnp.float32)
+        self.sweeps_done = 0
+        self.metrics: dict = {}
+
+    def _sweep_kwargs(self):
+        c = self.config
+        return dict(
+            width=c.width,
+            height=c.height,
+            block_size=c.block_size,
+            use_bvh=c.use_bvh,
+            max_bounces=c.max_bounces,
+            radius=c.reconstruction_radius,
+            stddev=c.reconstruction_stddev,
+            leaf_size=c.leaf_size,
+        )
+
+    def render(self, progress: Optional[Callable[[int, int], None]] = None):
+        """Run the remaining sweeps (all of them unless resumed)."""
+        c = self.config
+        kwargs = self._sweep_kwargs()
+        start = time.monotonic()
+        for sweep in range(self.sweeps_done, c.spp):
+            sched = self.scheduler.sweep(sweep)
+            delta, _ = render_sweep(
+                self.scene,
+                jnp.asarray(sched.block_seeds),
+                jnp.asarray(sched.sample_offset),
+                **kwargs,
+            )
+            self.film = self.film + delta
+            self.sweeps_done = sweep + 1
+            if progress is not None:
+                progress(self.sweeps_done, c.spp)
+            if c.preview_interval and self.sweeps_done % c.preview_interval == 0:
+                self.save_png(c.preview_path)
+        self.film.block_until_ready()
+        elapsed = time.monotonic() - start
+        primary_rays = c.width * c.height * (c.spp - 0)
+        self.metrics = dict(
+            render_seconds=elapsed,
+            primary_rays=primary_rays,
+            rays_per_second=primary_rays / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
+        )
+        return self.metrics
+
+    def image(self) -> np.ndarray:
+        """Normalized (H,W,3) float RGB."""
+        return np.asarray(normalize_film(self.film))
+
+    def save_exr(self, path: str) -> None:
+        write_exr(path, self.image())
+
+    def save_png(self, path: str) -> None:
+        write_png(path, self.image())
+
+    # --- checkpoint / resume (net-new vs the reference, SURVEY.md §5) ---
+
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            film=np.asarray(self.film),
+            sweeps_done=self.sweeps_done,
+            config=json.dumps(dataclasses.asdict(self.config)),
+        )
+
+    @classmethod
+    def resume_checkpoint(cls, compiled: CompiledScene, path: str) -> "Renderer":
+        data = np.load(path, allow_pickle=False)
+        config = RenderConfig(**json.loads(str(data["config"])))
+        r = cls(compiled, config)
+        r.film = jnp.asarray(data["film"])
+        r.sweeps_done = int(data["sweeps_done"])
+        # replay the scheduler to the checkpointed sweep so the remaining
+        # sweeps use the seeds they would have had uninterrupted
+        for s in range(r.sweeps_done):
+            r.scheduler.sweep(s)
+        return r

@@ -8,12 +8,18 @@ before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize may register a TPU backend and force the
+# platform before the env var is read; override at the config level too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -85,6 +85,6 @@ def test_occlusion_matches_closest_hit(cbox_compiled, rng_np):
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     tmin = np.full(n, 2e-4, np.float32)
     tmax = rng_np.uniform(0.05, 3.0, n).astype(np.float32)
-    occ = occluded_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), cs)
+    occ = occluded_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), scene=cs)
     hit = intersect_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), cs)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(hit.valid))

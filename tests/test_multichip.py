@@ -1,0 +1,59 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: the sharded render
+must match the single-device render (same seeds, same estimate)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from hijiki_tpu.parallel.multichip import MultiChipRenderer
+from hijiki_tpu.render.renderer import RenderConfig, Renderer
+
+
+@pytest.fixture(scope="module")
+def cbox_small():
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    return compile_scene(scene)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_multichip_matches_single(cbox_small, ndev):
+    cfg = RenderConfig(
+        width=128,
+        height=128,
+        spp=1,
+        block_size=64,  # 2x2 = 4 blocks
+        seed=5,
+        max_bounces=8,
+    )
+    single = Renderer(cbox_small, cfg)
+    single.render()
+    multi = MultiChipRenderer(cbox_small, cfg, num_devices=ndev)
+    metrics = multi.render()
+    assert metrics["devices"] == ndev
+    np.testing.assert_allclose(
+        np.asarray(multi.film), np.asarray(single.film), rtol=5e-4, atol=5e-5
+    )
+
+
+def test_multichip_nondivisible_blocks(cbox_small):
+    # 3x2 = 6 blocks over 4 devices -> padding with dummy blocks
+    cfg = RenderConfig(
+        width=192, height=128, spp=1, block_size=64, seed=9, max_bounces=6
+    )
+    single = Renderer(cbox_small, cfg)
+    single.render()
+    multi = MultiChipRenderer(cbox_small, cfg, num_devices=4)
+    multi.render()
+    np.testing.assert_allclose(
+        np.asarray(multi.film), np.asarray(single.film), rtol=5e-4, atol=5e-5
+    )
