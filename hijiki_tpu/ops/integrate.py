@@ -38,7 +38,9 @@ from hijiki_tpu.ops.intersect import (
     M_EPS,
     intersect_brute,
     intersect_bvh,
+    intersect_rows,
     occluded_bvh,
+    occluded_rows,
     populate_intersection,
 )
 from hijiki_tpu.scene.compile import CompiledScene
@@ -75,17 +77,30 @@ def integrate(
     max_bounces: int = 1000,
     use_bvh: bool = True,
     leaf_size: int = 1,
+    traversal: str = "rows",
 ) -> RenderOutputs:
-    """Trace a batch of rays to completion. All inputs are per-lane arrays."""
+    """Trace a batch of rays to completion. All inputs are per-lane arrays.
+
+    traversal: "rows" (merged trace-table walk, the fast path), "bvh" (the
+    direct threaded-BVH walk), or "brute". ``use_bvh=False`` forces "brute"
+    (the reference's A/B switch, ``src/main.rs:1432-1434``).
+    """
     f32 = jnp.float32
     shape = state.shape
 
-    if use_bvh:
+    if not use_bvh:
+        traversal = "brute"
+    if traversal == "rows":
+        intersect = partial(intersect_rows, scene=scene)
+        occluded = partial(occluded_rows, scene=scene)
+    elif traversal == "bvh":
         intersect = partial(intersect_bvh, scene=scene, leaf_size=leaf_size)
         occluded = partial(occluded_bvh, scene=scene, leaf_size=leaf_size)
-    else:
+    elif traversal == "brute":
         intersect = partial(intersect_brute, scene=scene)
         occluded = partial(_occluded_brute, scene=scene)
+    else:
+        raise ValueError(f"unknown traversal {traversal!r}")
 
     init = dict(
         bounce=jnp.int32(0),

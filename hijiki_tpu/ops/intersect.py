@@ -220,6 +220,124 @@ def intersect_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) ->
     )
 
 
+def intersect_rows(o, d, tmin, tmax, scene: CompiledScene) -> Hit:
+    """Lockstep traversal over the merged trace-row table — one (N,12) gather
+    per step (see ``scene.compile.build_trace_rows``). Visit order and hit
+    semantics are identical to ``intersect_bvh``; this is the fast path: XLA
+    keeps the row table VMEM-resident across the fused while_loop, so each
+    step is one vectorized gather + branchless unified AABB/primitive test."""
+    rows = scene.trace_rows
+    num_rows = rows.shape[0]
+    shape = o.shape[:-1]
+    f32 = jnp.float32
+
+    inv_d = f32(1.0) / d
+    t_off = -o * inv_d
+
+    init = dict(
+        cur=jnp.zeros(shape, jnp.int32),
+        best_t=jnp.broadcast_to(tmax, shape).astype(f32),
+        best_slot=jnp.full(shape, -1, jnp.int32),
+        best_u=jnp.zeros(shape, f32),
+        best_v=jnp.zeros(shape, f32),
+    )
+
+    def cond(s):
+        return jnp.any(s["cur"] < num_rows)
+
+    def body(s):
+        cur = s["cur"]
+        active = cur < num_rows
+        row = rows[jnp.minimum(cur, num_rows - 1)]
+        v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        kind = row[..., 9].astype(jnp.int32)
+        nexit = row[..., 10].astype(jnp.int32)
+        slot = row[..., 11].astype(jnp.int32)
+        is_prim = kind >= 0
+
+        # slab test (interior rows): v0=min, v1=max
+        tneg = v0 * inv_d + t_off
+        tpos = v1 * inv_d + t_off
+        tn = jnp.minimum(tneg, tpos)
+        tf = jnp.maximum(tneg, tpos)
+        t0 = jnp.max(tn, axis=-1)
+        t1 = jnp.min(tf, axis=-1)
+        aabb_hit = (t0 < t1 + M_EPS) & (t0 < s["best_t"]) & (t1 > tmin)
+
+        # primitive test (prim rows)
+        phit, pt, pu, pv = intersect_unified(o, d, tmin, s["best_t"], v0, v1, v2, kind)
+        accept = active & is_prim & phit & (pt < s["best_t"])
+        best_t = jnp.where(accept, pt, s["best_t"])
+        best_slot = jnp.where(accept, slot, s["best_slot"])
+        best_u = jnp.where(accept, pu, s["best_u"])
+        best_v = jnp.where(accept, pv, s["best_v"])
+
+        nxt = jnp.where(is_prim | ~aabb_hit, nexit, cur + 1)
+        return dict(
+            cur=jnp.where(active, nxt, cur),
+            best_t=best_t,
+            best_slot=best_slot,
+            best_u=best_u,
+            best_v=best_v,
+        )
+
+    s = jax.lax.while_loop(cond, body, init)
+    valid = s["best_slot"] >= 0
+    slot = jnp.maximum(s["best_slot"], 0)
+    return Hit(
+        valid=valid,
+        t=s["best_t"],
+        prim_slot=slot,
+        shape_id=scene.prim_shape_id[slot],
+        u=s["best_u"],
+        v=s["best_v"],
+    )
+
+
+def occluded_rows(o, d, tmin, tmax, active=None, *, scene: CompiledScene) -> jnp.ndarray:
+    """Any-hit query over the trace-row table with per-lane early exit."""
+    rows = scene.trace_rows
+    num_rows = rows.shape[0]
+    shape = o.shape[:-1]
+    f32 = jnp.float32
+    inv_d = f32(1.0) / d
+    t_off = -o * inv_d
+
+    cur0 = jnp.zeros(shape, jnp.int32)
+    if active is not None:
+        cur0 = jnp.where(active, cur0, num_rows)
+    init = dict(cur=cur0, hit=jnp.zeros(shape, bool))
+
+    def cond(s):
+        return jnp.any(s["cur"] < num_rows)
+
+    def body(s):
+        cur = s["cur"]
+        lane_on = cur < num_rows
+        row = rows[jnp.minimum(cur, num_rows - 1)]
+        v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        kind = row[..., 9].astype(jnp.int32)
+        nexit = row[..., 10].astype(jnp.int32)
+        is_prim = kind >= 0
+
+        tneg = v0 * inv_d + t_off
+        tpos = v1 * inv_d + t_off
+        tn = jnp.minimum(tneg, tpos)
+        tf = jnp.maximum(tneg, tpos)
+        t0 = jnp.max(tn, axis=-1)
+        t1 = jnp.min(tf, axis=-1)
+        aabb_hit = (t0 < t1 + M_EPS) & (t0 < tmax) & (t1 > tmin)
+
+        phit, _, _, _ = intersect_unified(o, d, tmin, tmax, v0, v1, v2, kind)
+        new_hit = s["hit"] | (lane_on & is_prim & phit)
+
+        nxt = jnp.where(is_prim | ~aabb_hit, nexit, cur + 1)
+        nxt = jnp.where(new_hit, num_rows, nxt)  # early out on first hit
+        return dict(cur=jnp.where(lane_on, nxt, cur), hit=new_hit)
+
+    return jax.lax.while_loop(cond, body, init)["hit"]
+
+
 def occluded_bvh(
     o, d, tmin, tmax, active=None, *, scene: CompiledScene, leaf_size: int = 1
 ) -> jnp.ndarray:

@@ -108,6 +108,10 @@ class CompiledScene:
     prim_shape_id: Any  # (P,) i32 global shape index (materials/emitters key)
     prim_tri: Any  # (P,3) i32 vertex indices (zeros for non-triangles)
 
+    # Merged threaded trace table: the whole BVH as one uniform row stream so
+    # a traversal step is a single gather (see build_trace_rows below).
+    trace_rows: Any  # (R,12) f32
+
     # Static metadata (hashable -> static under jit)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_quads: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -119,6 +123,60 @@ class CompiledScene:
     @property
     def num_shapes(self) -> int:
         return self.num_spheres + self.num_quads + self.num_triangles
+
+
+def build_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind) -> np.ndarray:
+    """Flatten the threaded BVH + reordered primitives into one uniform row
+    stream for single-gather lockstep traversal.
+
+    Each row is 12 f32:
+      cols 0-2  v0: aabb_min (interior) or prim a
+      cols 3-5  v1: aabb_max (interior) or prim b
+      cols 6-8  v2: prim c (zeros for interior)
+      col  9    kind: -1 interior (AABB test) else primitive kind
+      col  10   exit row (as exact small-int float): next row if the AABB test
+                fails / after the primitive test
+      col  11   prim slot (BVH order) or -1
+
+    Interior rows jump to ``cur+1`` on AABB hit (preorder left child) and to
+    ``exit`` on miss — the reference's stackless walk
+    (``shader/scene.glsl:117-131``). A leaf with count prims becomes count
+    consecutive primitive rows threaded by exit pointers (row k exits to k+1,
+    the last to the leaf's exit), so multi-prim leaves need no special case.
+    Leaf rows are tested unconditionally, exactly like the reference's leaves.
+    """
+    n_nodes = bvh.aabb_min.shape[0]
+    counts = bvh.count.astype(np.int64)
+    rows_per_node = np.where(counts > 0, counts, 1)
+    row_start = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(rows_per_node, out=row_start[1:])
+    total = int(row_start[-1])
+
+    def node_to_row(idx):  # idx may be n_nodes (the off-the-end sentinel)
+        return row_start[idx]
+
+    rows = np.zeros((total, 12), dtype=np.float32)
+    for node in range(n_nodes):
+        r0 = int(row_start[node])
+        exit_row = float(node_to_row(min(int(bvh.exit[node]), n_nodes)))
+        if bvh.count[node] == 0:  # interior: AABB row
+            rows[r0, 0:3] = bvh.aabb_min[node]
+            rows[r0, 3:6] = bvh.aabb_max[node]
+            rows[r0, 9] = -1.0
+            rows[r0, 10] = exit_row
+            rows[r0, 11] = -1.0
+        else:
+            first, count = int(bvh.first[node]), int(bvh.count[node])
+            for k in range(count):
+                slot = first + k
+                r = r0 + k
+                rows[r, 0:3] = prim_a[slot]
+                rows[r, 3:6] = prim_b[slot]
+                rows[r, 6:9] = prim_c[slot]
+                rows[r, 9] = float(prim_kind[slot])
+                rows[r, 10] = float(r + 1) if k + 1 < count else exit_row
+                rows[r, 11] = float(slot)
+    return rows
 
 
 def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
@@ -233,6 +291,7 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
 
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     order = bvh.prim_order  # reordered slot -> global shape index
+    trace_rows = build_trace_rows(bvh, a[order], b[order], c[order], kind[order])
 
     cam: Camera = scene.camera
     return CompiledScene(
@@ -268,6 +327,7 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         prim_kind=kind[order],
         prim_shape_id=order.astype(np.int32),
         prim_tri=ptri[order],
+        trace_rows=trace_rows,
         num_spheres=S,
         num_quads=Q,
         num_triangles=T,
