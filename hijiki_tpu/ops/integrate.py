@@ -66,6 +66,113 @@ def _occluded_brute(o, d, tmin, tmax, active=None, *, scene):
     return hit.valid
 
 
+def make_intersectors(scene: CompiledScene, traversal: str, leaf_size: int = 1):
+    """(closest_hit, any_hit) functions for the chosen traversal backend."""
+    if traversal == "rows":
+        return (
+            partial(intersect_rows, scene=scene),
+            partial(occluded_rows, scene=scene),
+        )
+    if traversal == "bvh":
+        return (
+            partial(intersect_bvh, scene=scene, leaf_size=leaf_size),
+            partial(occluded_bvh, scene=scene, leaf_size=leaf_size),
+        )
+    if traversal == "brute":
+        return (
+            partial(intersect_brute, scene=scene),
+            partial(_occluded_brute, scene=scene),
+        )
+    raise ValueError(f"unknown traversal {traversal!r}")
+
+
+def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
+    """One wavefront bounce over the lane batch: intersect, record first-hit
+    AOVs, Beer-Lambert attenuation, emissive accumulation, NEE + shadow ray,
+    BSDF sampling, Russian roulette. ``s`` holds per-lane state including a
+    per-lane ``bounce`` counter (so the bulk-synchronous and regenerating
+    drivers share this body). Returns the updated state dict.
+
+    Semantics are the reference megakernel's (render.glsl:92-145) — see the
+    module docstring for the estimator contract.
+    """
+    f32 = jnp.float32
+    alive = s["alive"]
+    hit = intersect(s["o"], s["d"], s["tmin"], s["tmax"])
+    its = populate_intersection(s["o"], s["d"], hit, scene)
+    found = alive & hit.valid
+
+    first = (s["bounce"] == 0) & found
+    depth = jnp.where(first, hit.t, s["depth"])
+    normal = jnp.where(first[..., None], its.n, s["normal"])
+
+    handle = scene.materials[jnp.minimum(its.shape_id, scene.num_shapes - 1)]
+    tag, idx = split_handle(handle)
+
+    # Beer-Lambert volumetric extinction (render.glsl:111-112).
+    dist = jnp.linalg.norm(its.p - s["o"], axis=-1)
+    throughput = jnp.where(
+        found[..., None],
+        s["throughput"] * jnp.exp(-s["extinction"] * dist[..., None]),
+        s["throughput"],
+    )
+
+    # Emissive hit, only after a discrete bounce (render.glsl:114-116).
+    power = _clamp_gather(scene.emissive_power, idx)
+    em = found & (tag == TAG_EMISSIVE) & s["was_discrete"]
+    total = jnp.where(em[..., None], s["total"] + throughput * power, s["total"])
+
+    # NEE for diffuse-ish lanes (render.glsl:117-126).
+    dif = found & ((tag == TAG_DIFFUSE) | (tag == TAG_DIFFUSECBOARD))
+    new_state, es = sample_emitter(scene, s["state"], its.p, dif)
+    imp_len = jnp.linalg.norm(es.importance, axis=-1)
+    gate = dif & (imp_len > M_EPS) & (jnp.sum(es.shadow_d * its.n, axis=-1) > f32(0.0))
+    occ = occluded(es.shadow_o, es.shadow_d, es.shadow_tmin, es.shadow_tmax, gate)
+    contrib = throughput * eval_bsdf(scene, handle, es.shadow_d, its) * es.importance
+    total = jnp.where((gate & ~occ)[..., None], total + contrib, total)
+
+    # BSDF sampling (render.glsl:128-133).
+    new_state, wo, weight, extinction = sample_bsdf(
+        scene, handle, s["d"], its, new_state, s["extinction"], found
+    )
+    throughput = jnp.where(found[..., None], throughput * weight, throughput)
+    new_o = jnp.where(found[..., None], its.p, s["o"])
+    new_d = jnp.where(found[..., None], wo, s["d"])
+    new_tmin = jnp.where(found, f32(2.0) * M_EPS, s["tmin"])
+    new_tmax = jnp.where(found, jnp.inf, s["tmax"])
+
+    was_discrete = jnp.where(
+        found, (tag != TAG_DIFFUSE) & (tag != TAG_DIFFUSECBOARD), s["was_discrete"]
+    )
+
+    # Russian roulette after bounce 3 (render.glsl:137-144).
+    rr = found & (s["bounce"] > 3)
+    state_rr, u_rr = rng.rand_uniform_float(new_state, jnp)
+    new_state = jnp.where(rr, state_rr, new_state)
+    q = jnp.minimum(f32(0.99), jnp.max(throughput, axis=-1))
+    kill = rr & (u_rr > q)
+    throughput = jnp.where((rr & ~kill)[..., None], throughput / q[..., None], throughput)
+    alive = found & ~kill
+
+    out = dict(s)
+    out.update(
+        bounce=s["bounce"] + 1,
+        o=new_o,
+        d=new_d,
+        tmin=new_tmin,
+        tmax=new_tmax,
+        state=new_state,
+        total=total,
+        throughput=throughput,
+        extinction=extinction,
+        was_discrete=was_discrete,
+        alive=alive,
+        depth=depth,
+        normal=normal,
+    )
+    return out
+
+
 def integrate(
     scene: CompiledScene,
     o,
@@ -90,20 +197,11 @@ def integrate(
 
     if not use_bvh:
         traversal = "brute"
-    if traversal == "rows":
-        intersect = partial(intersect_rows, scene=scene)
-        occluded = partial(occluded_rows, scene=scene)
-    elif traversal == "bvh":
-        intersect = partial(intersect_bvh, scene=scene, leaf_size=leaf_size)
-        occluded = partial(occluded_bvh, scene=scene, leaf_size=leaf_size)
-    elif traversal == "brute":
-        intersect = partial(intersect_brute, scene=scene)
-        occluded = partial(_occluded_brute, scene=scene)
-    else:
-        raise ValueError(f"unknown traversal {traversal!r}")
+    intersect, occluded = make_intersectors(scene, traversal, leaf_size)
 
     init = dict(
-        bounce=jnp.int32(0),
+        iteration=jnp.int32(0),
+        bounce=jnp.zeros(shape, jnp.int32),
         o=o,
         d=d,
         tmin=tmin,
@@ -119,89 +217,12 @@ def integrate(
     )
 
     def cond(s):
-        return (s["bounce"] < max_bounces) & jnp.any(s["alive"])
+        return (s["iteration"] < max_bounces) & jnp.any(s["alive"])
 
     def body(s):
-        alive = s["alive"]
-        hit = intersect(s["o"], s["d"], s["tmin"], s["tmax"])
-        its = populate_intersection(s["o"], s["d"], hit, scene)
-        found = alive & hit.valid
-
-        first = (s["bounce"] == 0) & found
-        depth = jnp.where(first, hit.t, s["depth"])
-        normal = jnp.where(first[..., None], its.n, s["normal"])
-
-        handle = scene.materials[jnp.minimum(its.shape_id, scene.num_shapes - 1)]
-        tag, idx = split_handle(handle)
-
-        # Beer-Lambert volumetric extinction (render.glsl:111-112).
-        dist = jnp.linalg.norm(its.p - s["o"], axis=-1)
-        throughput = jnp.where(
-            found[..., None],
-            s["throughput"] * jnp.exp(-s["extinction"] * dist[..., None]),
-            s["throughput"],
-        )
-
-        # Emissive hit, only after a discrete bounce (render.glsl:114-116).
-        power = _clamp_gather(scene.emissive_power, idx)
-        em = found & (tag == TAG_EMISSIVE) & s["was_discrete"]
-        total = jnp.where(em[..., None], s["total"] + throughput * power, s["total"])
-
-        # NEE for diffuse-ish lanes (render.glsl:117-126).
-        dif = found & ((tag == TAG_DIFFUSE) | (tag == TAG_DIFFUSECBOARD))
-        new_state, es = sample_emitter(scene, s["state"], its.p, dif)
-        imp_len = jnp.linalg.norm(es.importance, axis=-1)
-        gate = (
-            dif
-            & (imp_len > M_EPS)
-            & (jnp.sum(es.shadow_d * its.n, axis=-1) > f32(0.0))
-        )
-        occ = occluded(es.shadow_o, es.shadow_d, es.shadow_tmin, es.shadow_tmax, gate)
-        contrib = throughput * eval_bsdf(scene, handle, es.shadow_d, its) * es.importance
-        total = jnp.where((gate & ~occ)[..., None], total + contrib, total)
-
-        # BSDF sampling (render.glsl:128-133).
-        new_state, wo, weight, extinction = sample_bsdf(
-            scene, handle, s["d"], its, new_state, s["extinction"], found
-        )
-        throughput = jnp.where(found[..., None], throughput * weight, throughput)
-        new_o = jnp.where(found[..., None], its.p, s["o"])
-        new_d = jnp.where(found[..., None], wo, s["d"])
-        new_tmin = jnp.where(found, f32(2.0) * M_EPS, s["tmin"])
-        new_tmax = jnp.where(found, jnp.inf, s["tmax"])
-
-        was_discrete = jnp.where(
-            found,
-            (tag != TAG_DIFFUSE) & (tag != TAG_DIFFUSECBOARD),
-            s["was_discrete"],
-        )
-
-        # Russian roulette after bounce 3 (render.glsl:137-144).
-        rr = found & (s["bounce"] > 3)
-        state_rr, u_rr = rng.rand_uniform_float(new_state, jnp)
-        new_state = jnp.where(rr, state_rr, new_state)
-        q = jnp.minimum(f32(0.99), jnp.max(throughput, axis=-1))
-        kill = rr & (u_rr > q)
-        throughput = jnp.where(
-            (rr & ~kill)[..., None], throughput / q[..., None], throughput
-        )
-        alive = found & ~kill
-
-        return dict(
-            bounce=s["bounce"] + 1,
-            o=new_o,
-            d=new_d,
-            tmin=new_tmin,
-            tmax=new_tmax,
-            state=new_state,
-            total=total,
-            throughput=throughput,
-            extinction=extinction,
-            was_discrete=was_discrete,
-            alive=alive,
-            depth=depth,
-            normal=normal,
-        )
+        out = bounce_step(scene, s, intersect, occluded)
+        out["iteration"] = s["iteration"] + 1
+        return out
 
     s = jax.lax.while_loop(cond, body, init)
     return RenderOutputs(

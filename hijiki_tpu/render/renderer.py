@@ -53,6 +53,11 @@ class RenderConfig:
     preview_interval: int = 0  # sweeps between PNG previews; 0 = off
     preview_path: str = "/tmp/hijiki_preview.png"
     leaf_size: int = 1
+    # "sync": bulk-synchronous bounce loop; "wavefront": regenerating lane
+    # pool with path-regeneration compaction (render/wavefront.py)
+    driver: str = "sync"
+    wavefront_lanes: int = 1 << 18
+    sort_lanes: bool = False
 
 
 @partial(
@@ -66,6 +71,9 @@ class RenderConfig:
         "radius",
         "stddev",
         "leaf_size",
+        "driver",
+        "wavefront_lanes",
+        "sort_lanes",
     ),
 )
 def render_sweep(
@@ -81,46 +89,72 @@ def render_sweep(
     radius: int,
     stddev: float,
     leaf_size: int,
+    driver: str = "sync",
+    wavefront_lanes: int = 1 << 18,
+    sort_lanes: bool = False,
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
     H, W = height, width
     seeds = per_pixel_seeds(W, H, block_size, block_seeds)
-    state = seed_rng(seeds)
 
     y = jax.lax.broadcasted_iota(f32, (H, W), 0)
     x = jax.lax.broadcasted_iota(f32, (H, W), 1)
     px = jnp.stack([x + sample_offset[0], y + sample_offset[1]], axis=-1)
-    o, d, tmin, tmax = camera_rays(
-        scene.cam_position,
-        scene.cam_rotation,
-        scene.cam_fov,
-        px,
-        jnp.asarray([W, H], f32),
-    )
-    out = integrate(
-        scene,
-        o,
-        d,
-        tmin,
-        tmax,
-        state,
-        max_bounces=max_bounces,
-        use_bvh=use_bvh,
-        leaf_size=leaf_size,
-    )
+    traversal = "rows" if use_bvh else "brute"
+
+    if driver == "wavefront":
+        from hijiki_tpu.render.wavefront import render_wavefront
+
+        imgs = render_wavefront(
+            scene,
+            px.reshape(-1, 2),
+            seeds.reshape(-1),
+            jnp.asarray([W, H], f32),
+            num_lanes=min(wavefront_lanes, H * W),
+            max_iters=max_bounces * max(1, H * W // min(wavefront_lanes, H * W)) + 64,
+            max_path_bounces=max_bounces,
+            traversal=traversal,
+            sort_lanes=sort_lanes,
+        )
+        total = imgs.color.reshape(H, W, 3)
+        normal = imgs.normal.reshape(H, W, 3)
+        depth = imgs.depth.reshape(H, W)
+        albedo = jnp.zeros((H, W, 3), f32)
+    else:
+        state = seed_rng(seeds)
+        o, d, tmin, tmax = camera_rays(
+            scene.cam_position,
+            scene.cam_rotation,
+            scene.cam_fov,
+            px,
+            jnp.asarray([W, H], f32),
+        )
+        out = integrate(
+            scene,
+            o,
+            d,
+            tmin,
+            tmax,
+            state,
+            max_bounces=max_bounces,
+            use_bvh=use_bvh,
+            leaf_size=leaf_size,
+        )
+        total, normal, depth, albedo = out.total, out.normal, out.depth, out.albedo
+
     film_delta = reconstruct_sweep(
-        out.total,
-        out.normal,
-        out.albedo,
+        total,
+        normal,
+        albedo,
         sample_offset,
         block_size=block_size,
         radius=radius,
         stddev=stddev,
     )
     stats = dict(
-        mean_radiance=jnp.mean(out.total),
-        mean_depth=jnp.mean(out.depth),
+        mean_radiance=jnp.mean(total),
+        mean_depth=jnp.mean(depth),
     )
     return film_delta, stats
 
