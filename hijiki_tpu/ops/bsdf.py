@@ -23,6 +23,7 @@ Reference quirks reproduced deliberately:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from hijiki_tpu.ops import rng
 from hijiki_tpu.ops.intersect import Its, M_PI
@@ -36,7 +37,7 @@ from hijiki_tpu.scene.model import (
     TAG_MIRROR,
 )
 
-_IDX_MASK = jnp.uint32((1 << MATERIAL_TAG_SHIFT) - 1)
+_IDX_MASK = np.uint32((1 << MATERIAL_TAG_SHIFT) - 1)  # numpy, not jnp (perf)
 
 
 def split_handle(handle):
@@ -46,8 +47,27 @@ def split_handle(handle):
     return tag, idx
 
 
+_UNROLL_LIMIT = 16
+
+
+def select_row(table, idx):
+    """table[idx] for small tables without a gather: an unrolled where-chain.
+
+    TPU gathers inside large fused programs are unreliable (they can lower to
+    scalar loops); material tables are tiny, so a static select chain is both
+    faster and predictable. Falls back to a clamped gather for big tables.
+    """
+    k = table.shape[0]
+    if k <= _UNROLL_LIMIT:
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for row in range(1, k):
+            out = jnp.where((idx == row)[..., None], table[row], out)
+        return out
+    return table[jnp.minimum(idx, k - 1)]
+
+
 def _clamp_gather(table, idx):
-    return table[jnp.minimum(idx, table.shape[0] - 1)]
+    return select_row(table, idx)
 
 
 def checkerboard_texture(color1, color2, scale, uv):
@@ -64,10 +84,9 @@ def _reflect(i, n):
     return i - jnp.float32(2.0) * jnp.sum(n * i, axis=-1, keepdims=True) * n
 
 
-def eval_bsdf(scene: CompiledScene, handle, wi, its: Its):
+def eval_bsdf(scene: CompiledScene, tag, idx, wi, its: Its):
     """``evalBSDF`` (``shader/material.glsl:18-30``): nonzero only for
     diffuse/checkerboard; value = dot(n, wi) * albedo / pi."""
-    tag, idx = split_handle(handle)
     cos_term = jnp.sum(its.n * wi, axis=-1, keepdims=True)
     dif_color = _clamp_gather(scene.diffuse_color, idx)
     cb_color = checkerboard_texture(
@@ -86,11 +105,11 @@ def eval_bsdf(scene: CompiledScene, handle, wi, its: Its):
     )
 
 
-def sample_bsdf(scene: CompiledScene, handle, wi, its: Its, state, extinction, active):
+def sample_bsdf(scene: CompiledScene, tag, idx, wi, its: Its, state, extinction, active):
     """``sampleBSDF`` (``shader/material.glsl:33-91``), masked over all tags.
 
     Args:
-      handle: (N,) u32 material handles.
+      tag, idx: (N,) i32 material tag / per-type index (split handle).
       wi: (N,3) incident direction (the ray's direction, pointing into the
         surface) — reference convention.
       state: (N,) u32 RNG state; advanced only where the reference consumes.
@@ -100,7 +119,6 @@ def sample_bsdf(scene: CompiledScene, handle, wi, its: Its, state, extinction, a
     Returns (state, wo, weight, extinction).
     """
     f32 = jnp.float32
-    tag, idx = split_handle(handle)
     n = its.n
 
     # Two speculative draws off the current state; committed per-tag below.

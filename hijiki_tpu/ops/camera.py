@@ -9,10 +9,14 @@ GLSL literal 1e100 overflows to f32 +inf).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from hijiki_tpu.utils.quaternion import quaternion_rotate
 
-M_EPS = jnp.float32(1e-4)
+# numpy scalar, NOT jnp: a module-level jnp constant becomes a captured
+# device array inside jit and drives this TPU stack into a pathologically
+# slow execution mode (measured ~300x; see docs/PERF_NOTES.md)
+M_EPS = np.float32(1e-4)
 
 
 def camera_rays(cam_position, cam_rotation, cam_fov_deg, pixel_xy, dimension):

@@ -62,7 +62,7 @@ class RenderOutputs(NamedTuple):
 
 
 def _occluded_brute(o, d, tmin, tmax, active=None, *, scene):
-    hit = intersect_brute(o, d, tmin, tmax, scene)
+    hit = intersect_brute(o, d, tmin, tmax, scene=scene)
     return hit.valid
 
 
@@ -83,7 +83,16 @@ def make_intersectors(scene: CompiledScene, traversal: str, leaf_size: int = 1):
             partial(intersect_brute, scene=scene),
             partial(_occluded_brute, scene=scene),
         )
+    if traversal == "packet":
+        from hijiki_tpu.ops.pallas_traverse import intersect_packets, occluded_packets
+
+        return (
+            partial(intersect_packets, scene=scene),
+            partial(occluded_packets, scene=scene),
+        )
     raise ValueError(f"unknown traversal {traversal!r}")
+
+# All intersectors share the signature (o, d, tmin, tmax, active=None).
 
 
 def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
@@ -98,7 +107,7 @@ def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
     """
     f32 = jnp.float32
     alive = s["alive"]
-    hit = intersect(s["o"], s["d"], s["tmin"], s["tmax"])
+    hit = intersect(s["o"], s["d"], s["tmin"], s["tmax"], alive)
     its = populate_intersection(s["o"], s["d"], hit, scene)
     found = alive & hit.valid
 
@@ -106,8 +115,11 @@ def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
     depth = jnp.where(first, hit.t, s["depth"])
     normal = jnp.where(first[..., None], its.n, s["normal"])
 
-    handle = scene.materials[jnp.minimum(its.shape_id, scene.num_shapes - 1)]
-    tag, idx = split_handle(handle)
+    if hit.tag is not None:
+        tag, idx = hit.tag, hit.midx  # returned with the hit (packet kernel)
+    else:
+        handle = scene.materials[jnp.minimum(its.shape_id, scene.num_shapes - 1)]
+        tag, idx = split_handle(handle)
 
     # Beer-Lambert volumetric extinction (render.glsl:111-112).
     dist = jnp.linalg.norm(its.p - s["o"], axis=-1)
@@ -128,12 +140,12 @@ def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
     imp_len = jnp.linalg.norm(es.importance, axis=-1)
     gate = dif & (imp_len > M_EPS) & (jnp.sum(es.shadow_d * its.n, axis=-1) > f32(0.0))
     occ = occluded(es.shadow_o, es.shadow_d, es.shadow_tmin, es.shadow_tmax, gate)
-    contrib = throughput * eval_bsdf(scene, handle, es.shadow_d, its) * es.importance
+    contrib = throughput * eval_bsdf(scene, tag, idx, es.shadow_d, its) * es.importance
     total = jnp.where((gate & ~occ)[..., None], total + contrib, total)
 
     # BSDF sampling (render.glsl:128-133).
     new_state, wo, weight, extinction = sample_bsdf(
-        scene, handle, s["d"], its, new_state, s["extinction"], found
+        scene, tag, idx, s["d"], its, new_state, s["extinction"], found
     )
     throughput = jnp.where(found[..., None], throughput * weight, throughput)
     new_o = jnp.where(found[..., None], its.p, s["o"])

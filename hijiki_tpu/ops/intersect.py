@@ -21,11 +21,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hijiki_tpu.scene.compile import CompiledScene, KIND_SPHERE, KIND_TRIANGLE
 
-M_EPS = jnp.float32(1e-4)
-M_PI = jnp.float32(3.1415926535897932384626433832795)
+# numpy scalars, NOT jnp: module-level jnp constants become captured device
+# arrays inside jit and drive this TPU stack into a pathologically slow
+# execution mode (measured ~300x; see docs/PERF_NOTES.md)
+M_EPS = np.float32(1e-4)
+M_PI = np.float32(3.1415926535897932384626433832795)
 
 
 class Hit(NamedTuple):
@@ -37,6 +41,10 @@ class Hit(NamedTuple):
     shape_id: jnp.ndarray  # (N,) i32 — global shape index (materials key)
     u: jnp.ndarray  # (N,) f32 barycentric/param u
     v: jnp.ndarray  # (N,) f32
+    # Material handle split, when the traversal backend returns it with the
+    # hit (packet kernel); None -> shading gathers materials[shape_id].
+    tag: jnp.ndarray = None  # (N,) i32 or None
+    midx: jnp.ndarray = None  # (N,) i32 or None
 
 
 class Its(NamedTuple):
@@ -100,7 +108,7 @@ def intersect_unified(o, d, tmin, tmax, a, b, c, kind):
     return hit, t, jnp.where(is_sphere, zero, u), jnp.where(is_sphere, zero, v)
 
 
-def intersect_brute(o, d, tmin, tmax, scene: CompiledScene) -> Hit:
+def intersect_brute(o, d, tmin, tmax, active=None, *, scene: CompiledScene = None) -> Hit:
     """Closest hit by testing every primitive (oracle / tiny scenes).
 
     The analog of the reference's non-BVH fallback loops
@@ -132,7 +140,9 @@ def intersect_brute(o, d, tmin, tmax, scene: CompiledScene) -> Hit:
     )
 
 
-def intersect_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) -> Hit:
+def intersect_bvh(
+    o, d, tmin, tmax, active=None, *, scene: CompiledScene, leaf_size: int = 1
+) -> Hit:
     """Lockstep stackless BVH walk over the ray batch.
 
     Per-ray node cursor; each ``while_loop`` step gathers one node per ray,
@@ -147,8 +157,11 @@ def intersect_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) ->
     inv_d = f32(1.0) / d
     t_off = -o * inv_d
 
+    cur0 = jnp.zeros(shape, jnp.int32)
+    if active is not None:
+        cur0 = jnp.where(active, cur0, num_nodes)
     init = dict(
-        cur=jnp.zeros(shape, jnp.int32),
+        cur=cur0,
         best_t=jnp.broadcast_to(tmax, shape).astype(f32),
         best_slot=jnp.full(shape, -1, jnp.int32),
         best_u=jnp.zeros(shape, f32),
@@ -220,7 +233,7 @@ def intersect_bvh(o, d, tmin, tmax, scene: CompiledScene, leaf_size: int = 1) ->
     )
 
 
-def intersect_rows(o, d, tmin, tmax, scene: CompiledScene) -> Hit:
+def intersect_rows(o, d, tmin, tmax, active=None, *, scene: CompiledScene) -> Hit:
     """Lockstep traversal over the merged trace-row table — one (N,12) gather
     per step (see ``scene.compile.build_trace_rows``). Visit order and hit
     semantics are identical to ``intersect_bvh``; this is the fast path: XLA
@@ -234,8 +247,11 @@ def intersect_rows(o, d, tmin, tmax, scene: CompiledScene) -> Hit:
     inv_d = f32(1.0) / d
     t_off = -o * inv_d
 
+    cur0 = jnp.zeros(shape, jnp.int32)
+    if active is not None:
+        cur0 = jnp.where(active, cur0, num_rows)
     init = dict(
-        cur=jnp.zeros(shape, jnp.int32),
+        cur=cur0,
         best_t=jnp.broadcast_to(tmax, shape).astype(f32),
         best_slot=jnp.full(shape, -1, jnp.int32),
         best_u=jnp.zeros(shape, f32),

@@ -58,6 +58,9 @@ class RenderConfig:
     driver: str = "sync"
     wavefront_lanes: int = 1 << 18
     sort_lanes: bool = False
+    # traversal backend: None = "rows" (or "brute" when use_bvh=False);
+    # "packet" selects the Pallas packet kernel (TPU only)
+    traversal: str = ""
 
 
 @partial(
@@ -74,6 +77,7 @@ class RenderConfig:
         "driver",
         "wavefront_lanes",
         "sort_lanes",
+        "traversal",
     ),
 )
 def render_sweep(
@@ -92,6 +96,7 @@ def render_sweep(
     driver: str = "sync",
     wavefront_lanes: int = 1 << 18,
     sort_lanes: bool = False,
+    traversal: str = "",
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
@@ -101,7 +106,8 @@ def render_sweep(
     y = jax.lax.broadcasted_iota(f32, (H, W), 0)
     x = jax.lax.broadcasted_iota(f32, (H, W), 1)
     px = jnp.stack([x + sample_offset[0], y + sample_offset[1]], axis=-1)
-    traversal = "rows" if use_bvh else "brute"
+    if not traversal:
+        traversal = "rows" if use_bvh else "brute"
 
     if driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
@@ -140,6 +146,7 @@ def render_sweep(
             max_bounces=max_bounces,
             use_bvh=use_bvh,
             leaf_size=leaf_size,
+            traversal=traversal,
         )
         total, normal, depth, albedo = out.total, out.normal, out.depth, out.albedo
 
@@ -181,6 +188,10 @@ class Renderer:
             radius=c.reconstruction_radius,
             stddev=c.reconstruction_stddev,
             leaf_size=c.leaf_size,
+            driver=c.driver,
+            wavefront_lanes=c.wavefront_lanes,
+            sort_lanes=c.sort_lanes,
+            traversal=c.traversal,
         )
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):

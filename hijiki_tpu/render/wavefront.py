@@ -133,17 +133,25 @@ def render_wavefront(
         head = s["queue_head"] + jnp.sum(take.astype(jnp.int32))
         return dict(s, lanes=new, item=item, queue_head=head)
 
+    # scene bounds (BVH root AABB) for spatial sort keys
+    root_min = scene.bvh_aabb_min[0]
+    root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
+
     def sort_pass(s):
-        """Group lanes: dead first (refill locality), then by material-ish
-        key = current ray direction octant (traversal coherence proxy)."""
+        """Group lanes for packet coherence: dead lanes first (so the refill
+        gather is contiguous), live lanes by (origin cell, direction octant).
+        The packet traversal kernel walks one cursor per 128 rays, so packets
+        of spatially-and-directionally similar rays visit far fewer rows."""
         lanes = s["lanes"]
-        d = lanes["d"]
+        o, d = lanes["o"], lanes["d"]
         octant = (
             (d[:, 0] > 0).astype(jnp.int32)
             + 2 * (d[:, 1] > 0).astype(jnp.int32)
             + 4 * (d[:, 2] > 0).astype(jnp.int32)
         )
-        key = jnp.where(lanes["alive"], 1 + octant, 0)
+        q = jnp.clip(((o - root_min) / root_span * 8.0).astype(jnp.int32), 0, 7)
+        cell = q[:, 0] + 8 * q[:, 1] + 64 * q[:, 2]
+        key = jnp.where(lanes["alive"], 1 + octant + 8 * cell, 0)
         order = jnp.argsort(key, stable=True)
         lanes = {k: v[order] for k, v in lanes.items()}
         return dict(s, lanes=lanes, item=s["item"][order])

@@ -110,7 +110,7 @@ class CompiledScene:
 
     # Merged threaded trace table: the whole BVH as one uniform row stream so
     # a traversal step is a single gather (see build_trace_rows below).
-    trace_rows: Any  # (R,12) f32
+    trace_rows: Any  # (R,16) f32
 
     # Static metadata (hashable -> static under jit)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -120,23 +120,45 @@ class CompiledScene:
     num_bvh_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_prims: int = dataclasses.field(metadata=dict(static=True), default=0)
 
+    # Static per-emitter metadata (host ints) enabling gather-free statically
+    # unrolled emitter sampling when the emitter count is small: shape kind
+    # (KIND_*), index into the per-type shape arrays, and the emissive
+    # material's table index (src/main.rs:289-307 equivalents).
+    emitter_kind_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    emitter_local_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    emitter_midx_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+
     @property
     def num_shapes(self) -> int:
         return self.num_spheres + self.num_quads + self.num_triangles
 
 
-def build_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind) -> np.ndarray:
+def build_trace_rows(
+    bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag, prim_midx
+) -> np.ndarray:
     """Flatten the threaded BVH + reordered primitives into one uniform row
     stream for single-gather lockstep traversal.
 
-    Each row is 12 f32:
+    Each row is 16 f32 (all ints stored as exact small-int floats):
       cols 0-2  v0: aabb_min (interior) or prim a
       cols 3-5  v1: aabb_max (interior) or prim b
       cols 6-8  v2: prim c (zeros for interior)
       col  9    kind: -1 interior (AABB test) else primitive kind
-      col  10   exit row (as exact small-int float): next row if the AABB test
-                fails / after the primitive test
+      col  10   exit row: next row if the AABB test fails / after a prim test
       col  11   prim slot (BVH order) or -1
+      col  12   material tag (prim rows)
+      col  13   material per-type index (prim rows)
+      cols 14-15 reserved
+
+    Embedding the material handle in the row lets the traversal kernel return
+    it with the hit, removing the per-bounce ``materials[shape_id]`` gather
+    from the shading stage (TPU gathers from device loops are unreliable).
 
     Interior rows jump to ``cur+1`` on AABB hit (preorder left child) and to
     ``exit`` on miss — the reference's stackless walk
@@ -155,7 +177,7 @@ def build_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind) -> np.ndarray:
     def node_to_row(idx):  # idx may be n_nodes (the off-the-end sentinel)
         return row_start[idx]
 
-    rows = np.zeros((total, 12), dtype=np.float32)
+    rows = np.zeros((total, 16), dtype=np.float32)
     for node in range(n_nodes):
         r0 = int(row_start[node])
         exit_row = float(node_to_row(min(int(bvh.exit[node]), n_nodes)))
@@ -176,6 +198,8 @@ def build_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind) -> np.ndarray:
                 rows[r, 9] = float(prim_kind[slot])
                 rows[r, 10] = float(r + 1) if k + 1 < count else exit_row
                 rows[r, 11] = float(slot)
+                rows[r, 12] = float(prim_tag[slot])
+                rows[r, 13] = float(prim_midx[slot])
     return rows
 
 
@@ -291,7 +315,30 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
 
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     order = bvh.prim_order  # reordered slot -> global shape index
-    trace_rows = build_trace_rows(bvh, a[order], b[order], c[order], kind[order])
+    mats_by_order = shape_mats[order]
+    trace_rows = build_trace_rows(
+        bvh,
+        a[order],
+        b[order],
+        c[order],
+        kind[order],
+        mats_by_order >> MATERIAL_TAG_SHIFT,
+        mats_by_order & ((1 << MATERIAL_TAG_SHIFT) - 1),
+    )
+
+    # static per-emitter metadata for gather-free unrolled emitter sampling
+    em_kind, em_local, em_midx = [], [], []
+    for sh in em_shape.tolist():
+        if sh < S:
+            em_kind.append(KIND_SPHERE)
+            em_local.append(int(sh))
+        elif sh < S + Q:
+            em_kind.append(KIND_QUAD)
+            em_local.append(int(sh) - S)
+        else:
+            em_kind.append(KIND_TRIANGLE)
+            em_local.append(int(sh) - S - Q)
+        em_midx.append(int(shape_mats[sh]) & ((1 << MATERIAL_TAG_SHIFT) - 1))
 
     cam: Camera = scene.camera
     return CompiledScene(
@@ -334,6 +381,9 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         num_emitters=E,
         num_bvh_nodes=bvh.num_nodes,
         num_prims=num_shapes,
+        emitter_kind_static=tuple(em_kind),
+        emitter_local_static=tuple(em_local),
+        emitter_midx_static=tuple(em_midx),
     )
 
 

@@ -32,7 +32,7 @@ def test_analytic_hits():
     d = jnp.array([[0.0, 0.0, -1.0]] * 3, jnp.float32)
     tmin = jnp.full(3, 1e-4, jnp.float32)
     tmax = jnp.full(3, jnp.inf, jnp.float32)
-    hit = intersect_brute(o, d, tmin, tmax, cs)
+    hit = intersect_brute(o, d, tmin, tmax, scene=cs)
     assert bool(hit.valid.all())
     t_sphere = 5.0 - np.sqrt(1.0 - 0.08)  # off-axis sphere hit
     np.testing.assert_allclose(np.asarray(hit.t), [t_sphere, 3.0, 3.0], rtol=1e-6)
@@ -52,7 +52,7 @@ def test_sphere_inside_hit():
     # origin inside the sphere: near root is behind tmin, far root hits
     o = jnp.array([[0.0, 0.0, -5.0]], jnp.float32)
     d = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
-    hit = intersect_brute(o, d, jnp.full(1, 1e-4), jnp.full(1, jnp.inf), cs)
+    hit = intersect_brute(o, d, jnp.full(1, 1e-4), jnp.full(1, jnp.inf), scene=cs)
     assert bool(hit.valid[0])
     np.testing.assert_allclose(float(hit.t[0]), 1.0, rtol=1e-6)
 
@@ -67,8 +67,8 @@ def test_bvh_matches_brute_force_on_cbox(cbox_compiled, rng_np):
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     tmin = np.full(n, 1e-4, np.float32)
     tmax = np.full(n, np.inf, np.float32)
-    hb = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), cs)
-    hv = intersect_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), cs)
+    hb = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), scene=cs)
+    hv = intersect_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), scene=cs)
     np.testing.assert_array_equal(np.asarray(hb.valid), np.asarray(hv.valid))
     m = np.asarray(hb.valid)
     np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-6)
@@ -86,5 +86,5 @@ def test_occlusion_matches_closest_hit(cbox_compiled, rng_np):
     tmin = np.full(n, 2e-4, np.float32)
     tmax = rng_np.uniform(0.05, 3.0, n).astype(np.float32)
     occ = occluded_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), scene=cs)
-    hit = intersect_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), cs)
+    hit = intersect_bvh(jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmin), jnp.asarray(tmax), scene=cs)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(hit.valid))

@@ -83,8 +83,8 @@ def test_native_matches_numpy_traversal(native_available, cbox_scene):
     o, d = jnp.asarray(o), jnp.asarray(d)
     tmin = jnp.full(n, 1e-4, jnp.float32)
     tmax = jnp.full(n, np.inf, jnp.float32)
-    h1 = intersect_rows(o, d, tmin, tmax, cs_np)
-    h2 = intersect_rows(o, d, tmin, tmax, cs_cc)
+    h1 = intersect_rows(o, d, tmin, tmax, scene=cs_np)
+    h2 = intersect_rows(o, d, tmin, tmax, scene=cs_cc)
     np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h2.valid))
     m = np.asarray(h1.valid)
     np.testing.assert_array_equal(

@@ -36,19 +36,19 @@ def test_rows_equal_bvh_walk(cbox_scene, rng_np, leaf_size):
     cs = scene_to_device(compile_scene(scene, leaf_size=leaf_size))
     o, d, tmin, tmax = _rays(rng_np, 512)
 
-    hr = intersect_rows(o, d, tmin, tmax, cs)
-    hv = intersect_bvh(o, d, tmin, tmax, cs, leaf_size=leaf_size)
+    hr = intersect_rows(o, d, tmin, tmax, scene=cs)
+    hv = intersect_bvh(o, d, tmin, tmax, scene=cs, leaf_size=leaf_size)
     np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hv.valid))
     m = np.asarray(hr.valid)
     np.testing.assert_array_equal(
         np.asarray(hr.prim_slot)[m], np.asarray(hv.prim_slot)[m]
     )
     # identical math, but the two kernels may fuse FMAs differently -> ULP noise
-    np.testing.assert_allclose(np.asarray(hr.t)[m], np.asarray(hv.t)[m], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr.t)[m], np.asarray(hv.t)[m], rtol=1e-5)
 
-    hb = intersect_brute(o, d, tmin, tmax, cs)
+    hb = intersect_brute(o, d, tmin, tmax, scene=cs)
     np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hb.valid))
-    np.testing.assert_allclose(np.asarray(hr.t)[m], np.asarray(hb.t)[m], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr.t)[m], np.asarray(hb.t)[m], rtol=1e-5)
 
 
 def test_occluded_rows(cbox_compiled, rng_np):
@@ -58,7 +58,7 @@ def test_occluded_rows(cbox_compiled, rng_np):
     tmin = jnp.full(n, 2e-4, jnp.float32)
     tmax = jnp.asarray(rng_np.uniform(0.05, 3.0, n).astype(np.float32))
     occ = occluded_rows(o, d, tmin, tmax, scene=cs)
-    hit = intersect_rows(o, d, tmin, tmax, cs)
+    hit = intersect_rows(o, d, tmin, tmax, scene=cs)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(hit.valid))
     # inactive lanes report unoccluded
     occ2 = occluded_rows(o, d, tmin, tmax, jnp.zeros(n, bool), scene=cs)
