@@ -1,0 +1,834 @@
+"""The Pallas path-tracing megakernel: a full path trace per ray tile.
+
+On this TPU stack, XLA-level elementwise code executes far below VPU speed
+and gathers inside device loops are unreliable (docs/PERF_NOTES.md), so the
+entire bounce loop lives in one Pallas kernel: camera ray generation, packet
+BVH traversal (closest-hit with shading payload + any-hit shadow rays),
+surface shading with next-event estimation, BSDF sampling, Russian roulette —
+all vectorized over an (8,128) ray tile, looping bounces per tile with
+early exit the moment every path in the tile terminates (the tile-granular
+form of wavefront compaction: tiles retire independently, so one long path
+stalls 1024 lanes instead of the whole image).
+
+Everything scene-constant is baked at compile time as python-float immediates
+(camera, emitter geometry/power/pdf, material parameters) — the TPU analog of
+the reference renderer recompiling its GLSL with per-scene macros
+(``src/main.rs:769-783``). The only memory the kernel touches per step is the
+VMEM-resident trace-row table.
+
+The estimator is the reference megakernel's (``shader/render.glsl:81-146``),
+with per-path RNG streams identical to ``ops/integrate.py`` (same predicated
+xorshift32 consumption), so the same seeds produce the same image as the
+XLA drivers up to float associativity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hijiki_tpu.scene.compile import CompiledScene
+
+M_EPS = 1e-4
+M_PI = 3.1415926535897932384626433832795
+PACKET = 128
+SUBLANES = 8
+TILE = SUBLANES * PACKET
+
+KIND_SPHERE = 0.0
+KIND_QUAD = 1.0
+KIND_TRIANGLE = 2.0
+
+TAG_DIFFUSE = 0.0
+TAG_DIFFUSECBOARD = 1.0
+TAG_MIRROR = 2.0
+TAG_DIELECTRIC = 3.0
+TAG_EMISSIVE = 4.0
+
+f32 = jnp.float32
+
+
+# ----------------------------------------------------------------------------
+# RNG (bit-exact shader/rand.glsl, uint32 xorshift + Wang hash)
+# ----------------------------------------------------------------------------
+
+
+def _atan_poly(z):
+    """atan(z) for |z| <= 1, minimax odd polynomial (~1e-5 abs error)."""
+    t = z * z
+    p = f32(0.0208351)
+    p = p * t - f32(0.0851330)
+    p = p * t + f32(0.1801410)
+    p = p * t - f32(0.3302995)
+    p = p * t + f32(0.9998660)
+    return z * p
+
+
+def _atan2(y, x):
+    """Polynomial atan2 (Mosaic has no native atan2). Only feeds the sphere's
+    spherical UV -> checkerboard lookup, so ~1e-5 accuracy is ample. (0,0)
+    yields NaN, matching GLSL's undefined atan(0,0) + the NaN guard
+    (shader/shapes/sphere.glsl:49-51)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    r = _atan_poly(num / den)
+    r = jnp.where(swap, f32(0.5 * M_PI) - r, r)
+    r = jnp.where(x < 0, f32(M_PI) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _asin(x):
+    """asin via atan2(x, sqrt(1-x^2)); input pre-clipped to [-1,1]."""
+    return _atan2(x, jnp.sqrt(jnp.maximum(f32(1.0) - x * x, f32(0.0))))
+
+
+def _wang_hash(seed):
+    seed = (seed ^ jnp.uint32(61)) ^ (seed >> jnp.uint32(16))
+    seed = seed * jnp.uint32(9)
+    seed = seed ^ (seed >> jnp.uint32(4))
+    seed = seed * jnp.uint32(0x27D4EB2D)
+    return seed ^ (seed >> jnp.uint32(15))
+
+
+def _xorshift(s):
+    s = s ^ (s << jnp.uint32(13))
+    s = s ^ (s >> jnp.uint32(17))
+    return s ^ (s << jnp.uint32(5))
+
+
+def _u32_to_f32(s):
+    """float(u32) like GLSL's randUniformFloat conversion. Mosaic can't cast
+    uint32->float32 directly; reinterpret as int32 and correct the sign wrap
+    (+2^32 for negative). Matches direct conversion except for possible 1-ULP
+    double-rounding on values >= 2^31."""
+    i = pltpu.bitcast(s, jnp.int32)
+    fv = i.astype(f32)
+    return jnp.where(i < 0, fv + f32(4294967296.0), fv)
+
+
+def _randf(s):
+    s = _xorshift(s)
+    return s, _u32_to_f32(s) * f32(1.0 / 4294967296.0)
+
+
+# ----------------------------------------------------------------------------
+# In-kernel packet traversal (shared closest-hit / any-hit walker)
+# ----------------------------------------------------------------------------
+
+
+def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
+    """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
+    t, hitf (1.0 = hit), u, v, kind, tag, midx [, pay0..pay14].
+
+    tmax doubles as the active mask: lanes with tmax < 0 accept nothing and
+    never vote a packet into descending.
+    """
+    inv_dx = f32(1.0) / dx
+    inv_dy = f32(1.0) / dy
+    inv_dz = f32(1.0) / dz
+    tox = -ox * inv_dx
+    toy = -oy * inv_dy
+    toz = -oz * inv_dz
+
+    n_pay = 15 if want_payload else 0
+
+    def cond(c):
+        return jnp.any(c["cur"] < num_rows)
+
+    def body(c):
+        cur = c["cur"]  # (8,1)
+        rows8 = jnp.concatenate(
+            [
+                rows_ref[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :]
+                for k in range(SUBLANES)
+            ],
+            axis=0,
+        )
+        col = lambda j: rows8[:, j : j + 1]
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        v2x, v2y, v2z = col(6), col(7), col(8)
+        kind = col(9)
+        nexit = col(10).astype(jnp.int32)
+        mtag = col(12)
+        midx = col(13)
+
+        active = cur < num_rows
+        is_prim = kind >= f32(0.0)
+        best_t = c["t"]
+
+        # interior slab test
+        ax = v0x * inv_dx + tox
+        bx = v1x * inv_dx + tox
+        ay = v0y * inv_dy + toy
+        by = v1y * inv_dy + toy
+        az = v0z * inv_dz + toz
+        bz = v1z * inv_dz + toz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)), jnp.minimum(az, bz)
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)), jnp.maximum(az, bz)
+        )
+        slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
+        descend = jnp.any(slab & active & ~is_prim, axis=1, keepdims=True)
+
+        # unified primitive test
+        nx = v1y * v2z - v1z * v2y
+        ny = v1z * v2x - v1x * v2z
+        nz = v1x * v2y - v1y * v2x
+        rx = ox - v0x
+        ry = oy - v0y
+        rz = oz - v0z
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+        v = dd * (qx * v1x + qy * v1y + qz * v1z)
+        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+        is_tri = kind == f32(KIND_TRIANGLE)
+        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
+        in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+        ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+        ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
+
+        radius = v1x
+        sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+        sc = rx * rx + ry * ry + rz * rz - radius * radius
+        disc = sb * sb - f32(4.0) * sc
+        sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+        st0 = f32(-0.5) * (sb + sq)
+        st1 = f32(-0.5) * (sb - sq)
+        ok0 = (tmin <= st0) & (st0 <= best_t)
+        ok1 = (tmin <= st1) & (st1 <= best_t)
+        t_s = jnp.where(ok0, st0, st1)
+        ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+
+        is_sphere = kind == f32(KIND_SPHERE)
+        phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+        pt = jnp.where(is_sphere, t_s, t_pq)
+        zero = jnp.zeros_like(pt)
+        pu = jnp.where(is_sphere, zero, u)
+        pv = jnp.where(is_sphere, zero, v)
+
+        accept = active & is_prim & phit & (pt < best_t)
+        out = dict(c)
+        out["t"] = jnp.where(accept, pt, c["t"])
+        out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
+        out["u"] = jnp.where(accept, pu, c["u"])
+        out["v"] = jnp.where(accept, pv, c["v"])
+        out["kind"] = jnp.where(accept, kind, c["kind"])
+        out["tag"] = jnp.where(accept, mtag, c["tag"])
+        out["midx"] = jnp.where(accept, midx, c["midx"])
+        if want_payload:
+            # triangles carry rows[14:29]; spheres/quads carry v0,v1,v2
+            for j in range(n_pay):
+                geo = col(j) if j < 9 else jnp.zeros_like(kind)
+                pay = jnp.where(is_tri, col(14 + j), geo)
+                out[f"pay{j}"] = jnp.where(accept, pay, c[f"pay{j}"])
+
+        nxt = jnp.where(is_prim | ~descend, nexit, cur + 1)
+        if not want_payload:
+            # any-hit: a packet whose lanes all resolved can exit early
+            done = jnp.all((c["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
+            nxt = jnp.where(done, num_rows, nxt)
+        out["cur"] = jnp.where(active, nxt, cur)
+        return out
+
+    init = dict(
+        cur=jnp.zeros((SUBLANES, 1), jnp.int32),
+        t=tmax,
+        hitf=jnp.zeros((SUBLANES, PACKET), f32),
+        u=jnp.zeros((SUBLANES, PACKET), f32),
+        v=jnp.zeros((SUBLANES, PACKET), f32),
+        kind=jnp.zeros((SUBLANES, PACKET), f32),
+        tag=jnp.zeros((SUBLANES, PACKET), f32),
+        midx=jnp.zeros((SUBLANES, PACKET), f32),
+    )
+    for j in range(n_pay):
+        init[f"pay{j}"] = jnp.zeros((SUBLANES, PACKET), f32)
+    return jax.lax.while_loop(cond, body, init)
+
+
+# ----------------------------------------------------------------------------
+# static material parameter selection (baked where-chains)
+# ----------------------------------------------------------------------------
+
+
+def _bake_select(midx, rows, ncols, default=0.0):
+    """Select a row of baked python floats by traced index (f32 small ints)."""
+    outs = [jnp.full_like(midx, f32(default)) for _ in range(ncols)]
+    for k, row in enumerate(rows):
+        sel = midx == f32(k)
+        for j in range(ncols):
+            outs[j] = jnp.where(sel, f32(row[j]), outs[j])
+    return outs
+
+
+def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
+    """materials/diffusecb.glsl:6-13."""
+    stx = f32(0.5) * uvx / su
+    sty = f32(0.5) * uvy / sv
+    stx = stx - jnp.floor(stx)
+    sty = sty - jnp.floor(sty)
+    flip = (stx < f32(0.5)) ^ (sty < f32(0.5))
+    return (
+        jnp.where(flip, c2r, c1r),
+        jnp.where(flip, c2g, c1g),
+        jnp.where(flip, c2b, c1b),
+    )
+
+
+# ----------------------------------------------------------------------------
+# the megakernel
+# ----------------------------------------------------------------------------
+
+
+def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+    num_rows = cfg["num_rows"]
+    max_bounces = cfg["max_bounces"]
+    cam = cfg["camera"]  # (pos3, quat4, fov)
+    W, H = cfg["width"], cfg["height"]
+    emitters = cfg["emitters"]
+    mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
+
+    px = px_ref[...]
+    py = py_ref[...]
+    seed = seed_ref[...]
+
+    # --- camera raygen (shader/render.glsl:26-36), rotation matrix baked ---
+    cx, cy, cz, qx, qy, qz, qw, fov = cam
+    # quaternion -> rotation matrix (python floats)
+    R00 = 1 - 2 * (qy * qy + qz * qz)
+    R01 = 2 * (qx * qy - qz * qw)
+    R02 = 2 * (qx * qz + qy * qw)
+    R10 = 2 * (qx * qy + qz * qw)
+    R11 = 1 - 2 * (qx * qx + qz * qz)
+    R12 = 2 * (qy * qz - qx * qw)
+    R20 = 2 * (qx * qz - qy * qw)
+    R21 = 2 * (qy * qz + qx * qw)
+    R22 = 1 - 2 * (qx * qx + qy * qy)
+    scale = math.tan(math.radians(0.5 * fov)) / (0.5 * W)
+    lx = (px - f32(0.5 * W)) * f32(scale)
+    ly = -(py - f32(0.5 * H)) * f32(scale)
+    dxu = f32(R00) * lx + f32(R01) * ly - f32(R02)
+    dyu = f32(R10) * lx + f32(R11) * ly - f32(R12)
+    dzu = f32(R20) * lx + f32(R21) * ly - f32(R22)
+    inv_len = jax.lax.rsqrt(dxu * dxu + dyu * dyu + dzu * dzu)
+
+    state0 = _wang_hash(seed)
+
+    BIG = 3.0e38  # f32-finite stand-in for the reference's 1e100 -> inf tmax
+
+    init = dict(
+        alive=jnp.ones((SUBLANES, PACKET), jnp.int32),
+        bounce=jnp.zeros((SUBLANES, PACKET), jnp.int32),
+        ox=jnp.full((SUBLANES, PACKET), f32(cx)),
+        oy=jnp.full((SUBLANES, PACKET), f32(cy)),
+        oz=jnp.full((SUBLANES, PACKET), f32(cz)),
+        dx=dxu * inv_len,
+        dy=dyu * inv_len,
+        dz=dzu * inv_len,
+        tmin=jnp.full((SUBLANES, PACKET), f32(M_EPS)),
+        state=state0,
+        tr=jnp.ones((SUBLANES, PACKET), f32),
+        tg=jnp.ones((SUBLANES, PACKET), f32),
+        tb=jnp.ones((SUBLANES, PACKET), f32),
+        er=jnp.zeros((SUBLANES, PACKET), f32),
+        eg=jnp.zeros((SUBLANES, PACKET), f32),
+        eb=jnp.zeros((SUBLANES, PACKET), f32),
+        Lr=jnp.zeros((SUBLANES, PACKET), f32),
+        Lg=jnp.zeros((SUBLANES, PACKET), f32),
+        Lb=jnp.zeros((SUBLANES, PACKET), f32),
+        wd=jnp.ones((SUBLANES, PACKET), jnp.int32),  # wasDiscrete
+        depth=jnp.zeros((SUBLANES, PACKET), f32),
+        n1=jnp.zeros((SUBLANES, PACKET), f32),
+        n2=jnp.zeros((SUBLANES, PACKET), f32),
+        n3=jnp.zeros((SUBLANES, PACKET), f32),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"] > 0) & jnp.all(s["bounce"][0, 0] < max_bounces)
+
+    def body(s):
+        alive = s["alive"] > 0
+        tmax = jnp.where(alive, f32(BIG), f32(-1.0))
+        h = _traverse(
+            rows_ref,
+            num_rows,
+            s["ox"],
+            s["oy"],
+            s["oz"],
+            s["dx"],
+            s["dy"],
+            s["dz"],
+            s["tmin"],
+            tmax,
+            want_payload=True,
+        )
+        found = alive & (h["hitf"] > 0)
+        t = h["t"]
+        kind = h["kind"]
+        tag = h["tag"]
+        midx = h["midx"]
+        u, v = h["u"], h["v"]
+        pay = [h[f"pay{j}"] for j in range(15)]
+
+        # hit point
+        hx = s["ox"] + t * s["dx"]
+        hy = s["oy"] + t * s["dy"]
+        hz = s["oz"] + t * s["dz"]
+
+        # ---- populate shading data (scalarized populate_intersection) ----
+        is_s = kind == f32(KIND_SPHERE)
+        is_q = kind == f32(KIND_QUAD)
+        is_t = kind == f32(KIND_TRIANGLE)
+
+        # sphere: payload = (center, radius)
+        sr_inv = f32(1.0) / jnp.where(is_s, pay[3], f32(1.0))
+        snx = (hx - pay[0]) * sr_inv
+        sny = (hy - pay[1]) * sr_inv
+        snz = (hz - pay[2]) * sr_inv
+        st_len = jax.lax.rsqrt(jnp.maximum(snz * snz + snx * snx, f32(1e-30)))
+        stx = -snz * st_len
+        stz = snx * st_len
+        # b = cross(n, t): with t=(stx,0,stz)
+        sbx = sny * stz
+        sby = snz * stx - snx * stz
+        sbz = -sny * stx
+        s_uvx = f32(0.5) + _atan2(snz, snx) * f32(1.0 / (2.0 * M_PI))
+        s_uvx = jnp.where(jnp.isnan(s_uvx), f32(0.0), s_uvx)
+        s_uvy = f32(0.5) + _asin(jnp.clip(sny, -1.0, 1.0)) * f32(1.0 / M_PI)
+
+        # quad: for non-tri rows payload mirrors v0,v1,v2 -> edge1 = pay[3:6],
+        # edge2 = pay[6:9] (v0 = origin is unused by the quad frame)
+        q1l = jax.lax.rsqrt(
+            jnp.maximum(pay[3] * pay[3] + pay[4] * pay[4] + pay[5] * pay[5], f32(1e-30))
+        )
+        qtx, qty, qtz = pay[3] * q1l, pay[4] * q1l, pay[5] * q1l
+        q2l = jax.lax.rsqrt(
+            jnp.maximum(pay[6] * pay[6] + pay[7] * pay[7] + pay[8] * pay[8], f32(1e-30))
+        )
+        qbx, qby, qbz = pay[6] * q2l, pay[7] * q2l, pay[8] * q2l
+        qnx = qty * qbz - qtz * qby
+        qny = qtz * qbx - qtx * qbz
+        qnz = qtx * qby - qty * qbx
+
+        # triangle: payload = (n0,n1,n2, uv0,uv1,uv2)
+        lam0 = f32(1.0) - u - v
+        tnx = pay[0] * lam0 + pay[3] * u + pay[6] * v
+        tny = pay[1] * lam0 + pay[4] * u + pay[7] * v
+        tnz = pay[2] * lam0 + pay[5] * u + pay[8] * v
+        tn_inv = jax.lax.rsqrt(jnp.maximum(tnx * tnx + tny * tny + tnz * tnz, f32(1e-30)))
+        tnx, tny, tnz = tnx * tn_inv, tny * tn_inv, tnz * tn_inv
+        t_uvx = pay[9] * lam0 + pay[11] * u + pay[13] * v
+        t_uvy = pay[10] * lam0 + pay[12] * u + pay[14] * v
+        # tangent: bt_seed = |n.x|>|n.y| ? (0,1,0) : (1,0,0); t = norm(cross(n, bt))
+        use_y = jnp.abs(tnx) > jnp.abs(tny)
+        # cross(n, (0,1,0)) = (-n.z, 0, n.x); cross(n, (1,0,0)) = (0, n.z, -n.y)
+        ttx = jnp.where(use_y, -tnz, f32(0.0))
+        tty = jnp.where(use_y, f32(0.0), tnz)
+        ttz = jnp.where(use_y, tnx, -tny)
+        tt_inv = jax.lax.rsqrt(jnp.maximum(ttx * ttx + tty * tty + ttz * ttz, f32(1e-30)))
+        ttx, tty, ttz = ttx * tt_inv, tty * tt_inv, ttz * tt_inv
+        tbx = tny * ttz - tnz * tty
+        tby = tnz * ttx - tnx * ttz
+        tbz = tnx * tty - tny * ttx
+
+        sel3 = lambda a_s, a_q, a_t: jnp.where(is_s, a_s, jnp.where(is_q, a_q, a_t))
+        nx = sel3(snx, qnx, tnx)
+        ny = sel3(sny, qny, tny)
+        nz = sel3(snz, qnz, tnz)
+        fx = sel3(stx, qtx, ttx)
+        fy = sel3(jnp.zeros_like(stx), qty, tty)
+        fz = sel3(stz, qtz, ttz)
+        bx_ = sel3(sbx, qbx, tbx)
+        by_ = sel3(sby, qby, tby)
+        bz_ = sel3(sbz, qbz, tbz)
+        uvx = sel3(s_uvx, u, t_uvx)
+        uvy = sel3(s_uvy, v, t_uvy)
+
+        # first-hit AOVs
+        first = (s["bounce"] == 0) & found
+        depth = jnp.where(first, t, s["depth"])
+        n1o = jnp.where(first, nx, s["n1"])
+        n2o = jnp.where(first, ny, s["n2"])
+        n3o = jnp.where(first, nz, s["n3"])
+
+        # Beer-Lambert (render.glsl:111-112); dist = |p - o|
+        ddx = hx - s["ox"]
+        ddy = hy - s["oy"]
+        ddz = hz - s["oz"]
+        dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+        tr = jnp.where(found, s["tr"] * jnp.exp(-s["er"] * dist), s["tr"])
+        tg = jnp.where(found, s["tg"] * jnp.exp(-s["eg"] * dist), s["tg"])
+        tb = jnp.where(found, s["tb"] * jnp.exp(-s["eb"] * dist), s["tb"])
+
+        # emissive accumulation (render.glsl:114-116)
+        pw = _bake_select(midx, mat_emissive, 3) if mat_emissive else [
+            jnp.zeros_like(midx)
+        ] * 3
+        em = found & (tag == f32(TAG_EMISSIVE)) & (s["wd"] > 0)
+        Lr = jnp.where(em, s["Lr"] + tr * pw[0], s["Lr"])
+        Lg = jnp.where(em, s["Lg"] + tg * pw[1], s["Lg"])
+        Lb = jnp.where(em, s["Lb"] + tb * pw[2], s["Lb"])
+
+        # ---- NEE (render.glsl:117-126, scene.glsl:54-89) ----
+        dif = found & ((tag == f32(TAG_DIFFUSE)) | (tag == f32(TAG_DIFFUSECBOARD)))
+        st = s["state"]
+        st1, u_pick = _randf(st)
+        st2, eu1 = _randf(st1)
+        st3, eu2 = _randf(st2)
+        new_state = jnp.where(dif, st3, st)
+
+        # emitter select: first e with u_pick < cdf_e; fallback to emitter 0
+        # when u_pick >= cdf_{E-1} (scene.glsl:57-64). Because the cdf is
+        # increasing, "first e with u < cdf_e" == "u in [cdf_{e-1}, cdf_e)",
+        # so candidate 0 is the default and candidate e>0 overrides on its
+        # half-open cdf bin.
+        candidates = []
+        for e, bake in enumerate(emitters):
+            ekind, epdf_c, ecdf = bake[0], bake[1], bake[2]
+            power = bake[3:6]
+            g = bake[6:]
+            if ekind == 2:  # triangle (shapes/triangle.glsl:81-102)
+                pa, pb_, pc = g[0:3], g[3:6], g[6:9]
+                na, nb, nc = g[9:12], g[12:15], g[15:18]
+                abx, aby, abz = (pb_[i] - pa[i] for i in range(3))
+                acx, acy, acz = (pc[i] - pa[i] for i in range(3))
+                crx = aby * acz - abz * acy
+                cry = abz * acx - abx * acz
+                crz = abx * acy - aby * acx
+                area = 0.5 * math.sqrt(crx * crx + cry * cry + crz * crz)
+                over = eu1 + eu2 > f32(1.0)
+                lu = jnp.where(over, f32(1.0) - eu2, eu1)
+                lv = eu2
+                lw = f32(1.0) - lu - lv
+                cpx = f32(pa[0]) * lu + f32(pb_[0]) * lv + f32(pc[0]) * lw
+                cpy = f32(pa[1]) * lu + f32(pb_[1]) * lv + f32(pc[1]) * lw
+                cpz = f32(pa[2]) * lu + f32(pb_[2]) * lv + f32(pc[2]) * lw
+                cnx = f32(na[0]) * lu + f32(nb[0]) * lv + f32(nc[0]) * lw
+                cny = f32(na[1]) * lu + f32(nb[1]) * lv + f32(nc[1]) * lw
+                cnz = f32(na[2]) * lu + f32(nb[2]) * lv + f32(nc[2]) * lw
+                cn_inv = jax.lax.rsqrt(
+                    jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, f32(1e-30))
+                )
+                cnx, cny, cnz = cnx * cn_inv, cny * cn_inv, cnz * cn_inv
+                cpdf = f32(1.0 / area)
+                cpdf = jnp.full_like(u_pick, cpdf)
+            elif ekind == 1:  # quad (shapes/quad.glsl:34-45)
+                qo, e1, e2 = g[0:3], g[3:6], g[6:9]
+                crx = e1[1] * e2[2] - e1[2] * e2[1]
+                cry = e1[2] * e2[0] - e1[0] * e2[2]
+                crz = e1[0] * e2[1] - e1[1] * e2[0]
+                area = math.sqrt(crx * crx + cry * cry + crz * crz)
+                cnx = jnp.full_like(u_pick, f32(crx / area))
+                cny = jnp.full_like(u_pick, f32(cry / area))
+                cnz = jnp.full_like(u_pick, f32(crz / area))
+                cpx = f32(qo[0]) + eu1 * f32(e1[0]) + eu2 * f32(e2[0])
+                cpy = f32(qo[1]) + eu1 * f32(e1[1]) + eu2 * f32(e2[1])
+                cpz = f32(qo[2]) + eu1 * f32(e1[2]) + eu2 * f32(e2[2])
+                cpdf = jnp.full_like(u_pick, f32(1.0 / area))
+            else:  # sphere (shapes/sphere.glsl:54-62)
+                scx, scy, scz, rr = g[0], g[1], g[2], g[3]
+                z = f32(2.0) * eu1 - f32(1.0)
+                theta = f32(2.0 * M_PI) * eu2
+                rxy = jnp.sqrt(jnp.maximum(f32(1.0) - z * z, f32(0.0)))
+                cnx = rxy * jnp.cos(theta)
+                cny = rxy * jnp.sin(theta)
+                cnz = z
+                cpx = f32(scx) + f32(rr) * cnx
+                cpy = f32(scy) + f32(rr) * cny
+                cpz = f32(scz) + f32(rr) * cnz
+                cpdf = jnp.full_like(u_pick, f32(1.0 / (rr * rr * 4.0 * M_PI)))
+            candidates.append(
+                dict(
+                    px=cpx, py=cpy, pz=cpz, nx=cnx, ny=cny, nz=cnz, pdf=cpdf,
+                    pwr=f32(power[0]), pwg=f32(power[1]), pwb=f32(power[2]),
+                    em_pdf=f32(epdf_c), cdf_lo=None if e == 0 else f32(emitters[e - 1][2]),
+                    cdf_hi=f32(ecdf),
+                )
+            )
+
+        c0 = candidates[0]
+        epx, epy, epz = c0["px"], c0["py"], c0["pz"]
+        enx, eny, enz = c0["nx"], c0["ny"], c0["nz"]
+        epdf = c0["pdf"]
+        epwr = jnp.full_like(u_pick, c0["pwr"])
+        epwg = jnp.full_like(u_pick, c0["pwg"])
+        epwb = jnp.full_like(u_pick, c0["pwb"])
+        em_pdf_sel = jnp.full_like(u_pick, c0["em_pdf"])
+        for cand in candidates[1:]:
+            sel = (u_pick >= cand["cdf_lo"]) & (u_pick < cand["cdf_hi"])
+            epx = jnp.where(sel, cand["px"], epx)
+            epy = jnp.where(sel, cand["py"], epy)
+            epz = jnp.where(sel, cand["pz"], epz)
+            enx = jnp.where(sel, cand["nx"], enx)
+            eny = jnp.where(sel, cand["ny"], eny)
+            enz = jnp.where(sel, cand["nz"], enz)
+            epdf = jnp.where(sel, cand["pdf"], epdf)
+            epwr = jnp.where(sel, cand["pwr"], epwr)
+            epwg = jnp.where(sel, cand["pwg"], epwg)
+            epwb = jnp.where(sel, cand["pwb"], epwb)
+            em_pdf_sel = jnp.where(sel, cand["em_pdf"], em_pdf_sel)
+
+        # shadow ray
+        svx = epx - hx
+        svy = epy - hy
+        svz = epz - hz
+        sdist = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+        sd_inv = f32(1.0) / sdist
+        sdx, sdy, sdz = svx * sd_inv, svy * sd_inv, svz * sd_inv
+        cos_theta = -(sdx * enx + sdy * eny + sdz * enz)
+        pdf = em_pdf_sel * epdf * sdist * sdist / cos_theta
+        inv_pdf = jnp.where(cos_theta < f32(0.0), f32(0.0), f32(1.0) / pdf)
+        impr = epwr * inv_pdf
+        impg = epwg * inv_pdf
+        impb = epwb * inv_pdf
+        imp_len = jnp.sqrt(impr * impr + impg * impg + impb * impb)
+        gate = dif & (imp_len > f32(M_EPS)) & ((sdx * nx + sdy * ny + sdz * nz) > 0)
+
+        sh = _traverse(
+            rows_ref,
+            num_rows,
+            hx,
+            hy,
+            hz,
+            sdx,
+            sdy,
+            sdz,
+            jnp.full_like(sdist, f32(2.0 * M_EPS)),
+            jnp.where(gate, sdist - f32(M_EPS), f32(-1.0)),
+            want_payload=False,
+        )
+        unoccluded = sh["hitf"] == 0
+
+        # eval BSDF for NEE (material.glsl:18-30)
+        dcol = _bake_select(midx, mat_diffuse, 3) if mat_diffuse else [
+            jnp.zeros_like(midx)
+        ] * 3
+        if mat_cb:
+            cbp = _bake_select(midx, mat_cb, 8)
+            cbr, cbg, cbb = _checkerboard(*cbp, uvx, uvy)
+        else:
+            cbr = cbg = cbb = jnp.zeros_like(midx)
+        cosw = sdx * nx + sdy * ny + sdz * nz
+        is_dif = tag == f32(TAG_DIFFUSE)
+        is_cb = tag == f32(TAG_DIFFUSECBOARD)
+        evr = cosw * jnp.where(is_dif, dcol[0], cbr) * f32(1.0 / M_PI)
+        evg = cosw * jnp.where(is_dif, dcol[1], cbg) * f32(1.0 / M_PI)
+        evb = cosw * jnp.where(is_dif, dcol[2], cbb) * f32(1.0 / M_PI)
+        add = gate & unoccluded
+        Lr = jnp.where(add, Lr + tr * evr * impr, Lr)
+        Lg = jnp.where(add, Lg + tg * evg * impg, Lg)
+        Lb = jnp.where(add, Lb + tb * evb * impb, Lb)
+
+        # ---- BSDF sampling (material.glsl:33-91) ----
+        stA, bu1 = _randf(new_state)
+        stB, bu2 = _randf(stA)
+
+        # diffuse / checkerboard: cosine hemisphere in the shading frame
+        rad = jnp.sqrt(bu1)
+        th = f32(2.0 * M_PI) * bu2
+        hlx = rad * jnp.cos(th)
+        hly = rad * jnp.sin(th)
+        hlz = jnp.sqrt(jnp.maximum(f32(0.0), f32(1.0) - bu1))
+        wdfx = fx * hlx + bx_ * hly + nx * hlz
+        wdfy = fy * hlx + by_ * hly + ny * hlz
+        wdfz = fz * hlx + bz_ * hly + nz * hlz
+
+        # mirror
+        din = s["dx"] * nx + s["dy"] * ny + s["dz"] * nz
+        wmx = s["dx"] - f32(2.0) * din * nx
+        wmy = s["dy"] - f32(2.0) * din * ny
+        wmz = s["dz"] - f32(2.0) * din * nz
+
+        # dielectric (material.glsl:50-87 verbatim, incl. quirks)
+        if mat_diel:
+            dl = _bake_select(midx, mat_diel, 4)
+            ext_r, ext_g, ext_b, eta0 = dl
+        else:
+            ext_r = ext_g = ext_b = jnp.zeros_like(midx)
+            eta0 = jnp.ones_like(midx)
+        eta_inv0 = f32(1.0) / eta0
+        cos_i0 = -din
+        flip = cos_i0 < f32(0.0)
+        eta = jnp.where(flip, eta_inv0, eta0)
+        eta_inv = jnp.where(flip, eta0, eta_inv0)
+        nnx = jnp.where(flip, -nx, nx)
+        nny = jnp.where(flip, -ny, ny)
+        nnz = jnp.where(flip, -nz, nz)
+        cos_i = jnp.where(flip, -cos_i0, cos_i0)
+        kk = f32(1.0) - eta_inv * eta_inv * (f32(1.0) - cos_i * cos_i)
+        tir = kk <= f32(0.0)
+        cos_o = jnp.sqrt(jnp.maximum(kk, f32(0.0)))
+        rho_par = (eta * cos_i - cos_o) / (eta * cos_i + cos_o)
+        rho_orth = (cos_i - eta * cos_o) / (cos_i + eta * cos_o)
+        f_r = f32(0.5) * (rho_par * rho_par + rho_orth * rho_orth)
+        choose_reflect = bu1 < f_r
+        dinn = s["dx"] * nnx + s["dy"] * nny + s["dz"] * nnz
+        wrx = s["dx"] - f32(2.0) * dinn * nnx
+        wry = s["dy"] - f32(2.0) * dinn * nny
+        wrz = s["dz"] - f32(2.0) * dinn * nnz
+        prx = s["dx"] - dinn * nnx
+        pry = s["dy"] - dinn * nny
+        prz = s["dz"] - dinn * nnz
+        wtx = eta_inv * prx - cos_o * nnx
+        wty = eta_inv * pry - cos_o * nny
+        wtz = eta_inv * prz - cos_o * nnz
+        refl = tir | choose_reflect
+        wdx = jnp.where(refl, wrx, wtx)
+        wdy = jnp.where(refl, wry, wty)
+        wdz = jnp.where(refl, wrz, wtz)
+        inside0 = cos_i0 > f32(0.0)
+        refracted = ~tir & ~choose_reflect
+        # select on booleans via logic ops (Mosaic can't select i1 vectors)
+        inside_final = (refracted & ~inside0) | (~refracted & inside0)
+
+        is_mir = tag == f32(TAG_MIRROR)
+        is_dl = tag == f32(TAG_DIELECTRIC)
+        is_em = tag == f32(TAG_EMISSIVE)
+        difish = is_dif | is_cb
+
+        wox = jnp.where(difish, wdfx, jnp.where(is_mir, wmx, jnp.where(is_dl, wdx, s["dx"])))
+        woy = jnp.where(difish, wdfy, jnp.where(is_mir, wmy, jnp.where(is_dl, wdy, s["dy"])))
+        woz = jnp.where(difish, wdfz, jnp.where(is_mir, wmz, jnp.where(is_dl, wdz, s["dz"])))
+        wr_ = jnp.where(is_dif, dcol[0], jnp.where(is_cb, cbr, jnp.where(is_mir | is_dl, f32(1.0), f32(0.0))))
+        wg_ = jnp.where(is_dif, dcol[1], jnp.where(is_cb, cbg, jnp.where(is_mir | is_dl, f32(1.0), f32(0.0))))
+        wb_ = jnp.where(is_dif, dcol[2], jnp.where(is_cb, cbb, jnp.where(is_mir | is_dl, f32(1.0), f32(0.0))))
+        set_ext = is_dl & found & inside_final
+        er = jnp.where(set_ext, ext_r, s["er"])
+        eg = jnp.where(set_ext, ext_g, s["eg"])
+        eb = jnp.where(set_ext, ext_b, s["eb"])
+
+        consumed2 = found & difish
+        consumed1 = found & is_dl & ~tir
+        new_state = jnp.where(consumed2, stB, jnp.where(consumed1, stA, new_state))
+
+        tr = jnp.where(found, tr * wr_, tr)
+        tg = jnp.where(found, tg * wg_, tg)
+        tb = jnp.where(found, tb * wb_, tb)
+        oxn = jnp.where(found, hx, s["ox"])
+        oyn = jnp.where(found, hy, s["oy"])
+        ozn = jnp.where(found, hz, s["oz"])
+        dxn = jnp.where(found, wox, s["dx"])
+        dyn = jnp.where(found, woy, s["dy"])
+        dzn = jnp.where(found, woz, s["dz"])
+        tminn = jnp.where(found, f32(2.0 * M_EPS), s["tmin"])
+        wd = jnp.where(found, (~difish).astype(jnp.int32), s["wd"])
+
+        # Russian roulette (render.glsl:137-144)
+        rr = found & (s["bounce"] > 3)
+        stC, u_rr = _randf(new_state)
+        new_state = jnp.where(rr, stC, new_state)
+        q = jnp.minimum(f32(0.99), jnp.maximum(tr, jnp.maximum(tg, tb)))
+        kill = rr & (u_rr > q)
+        keepq = rr & ~kill
+        tr = jnp.where(keepq, tr / q, tr)
+        tg = jnp.where(keepq, tg / q, tg)
+        tb = jnp.where(keepq, tb / q, tb)
+        alive_n = found & ~kill
+
+        return dict(
+            alive=alive_n.astype(jnp.int32),
+            bounce=s["bounce"] + 1,
+            ox=oxn,
+            oy=oyn,
+            oz=ozn,
+            dx=dxn,
+            dy=dyn,
+            dz=dzn,
+            tmin=tminn,
+            state=new_state,
+            tr=tr,
+            tg=tg,
+            tb=tb,
+            er=er,
+            eg=eg,
+            eb=eb,
+            Lr=Lr,
+            Lg=Lg,
+            Lb=Lb,
+            wd=wd,
+            depth=depth,
+            n1=n1o,
+            n2=n2o,
+            n3=n3o,
+        )
+
+    s = jax.lax.while_loop(cond, body, init)
+    out_ref[0] = s["Lr"]
+    out_ref[1] = s["Lg"]
+    out_ref[2] = s["Lb"]
+    out_ref[3] = s["n1"]
+    out_ref[4] = s["n2"]
+    out_ref[5] = s["n3"]
+    out_ref[6] = s["depth"]
+    state_out_ref[0] = s["state"]
+
+
+def render_tiles(
+    scene: CompiledScene,
+    px,  # (N,) f32 sample x (pixel + jitter)
+    py,  # (N,) f32
+    seeds,  # (N,) u32 per-path seeds
+    *,
+    width: int,
+    height: int,
+    max_bounces: int = 1000,
+    interpret: bool = False,
+):
+    """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
+    depth(N,), state(N,)). N must be a multiple of 1024."""
+    N = px.shape[0]
+    if N % TILE != 0:
+        raise ValueError("pad ray count to a multiple of 1024")
+    n_tiles = N // TILE
+    rows = scene.trace_rows
+    R = rows.shape[0]
+
+    cfg = dict(
+        num_rows=R,
+        max_bounces=max_bounces,
+        camera=scene.camera_static,
+        width=width,
+        height=height,
+        emitters=scene.emitter_bake_static,
+        materials=scene.material_bake_static,
+    )
+
+    shape = (n_tiles, SUBLANES, PACKET)
+    out, state = pl.pallas_call(
+        functools.partial(_megakernel, cfg=cfg),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, 7, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 7, SUBLANES, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, PACKET), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(rows, px.reshape(shape), py.reshape(shape), seeds.reshape(shape))
+
+    total = jnp.stack([out[:, k].reshape(N) for k in range(3)], axis=-1)
+    normal = jnp.stack([out[:, 3 + k].reshape(N) for k in range(3)], axis=-1)
+    depth = out[:, 6].reshape(N)
+    return total, normal, depth, state[:, 0].reshape(N)

@@ -41,7 +41,7 @@ def _traverse_kernel(rows_ref, rays_ref, out_ref, *, num_rows, any_hit):
 
     rays_ref: (8, 8, 128) f32 — fields [ox,oy,oz,dx,dy,dz,tmin,tmax]
     out_ref: (6, 8, 128) f32 — [best_t, slot+1 (0 = miss), u, v, tag, midx]
-    rows_ref: (num_rows_padded, 16) f32 — trace rows (12 cols + padding)
+    rows_ref: (num_rows_padded, 32) f32 — trace rows (scene.compile layout)
     """
     f32 = jnp.float32
     ox = rays_ref[0]
@@ -65,7 +65,7 @@ def _traverse_kernel(rows_ref, rays_ref, out_ref, *, num_rows, any_hit):
 
     def body(c):
         cur = c["cur"]  # (8,1) i32 packet cursors
-        # Fetch each packet's row with a scalar dynamic slice -> (8,16).
+        # Fetch each packet's row with a scalar dynamic slice -> (8,32).
         rows8 = jnp.concatenate(
             [
                 rows_ref[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :]
@@ -187,12 +187,12 @@ def _traverse_kernel(rows_ref, rays_ref, out_ref, *, num_rows, any_hit):
 
 
 def pad_rows_table(rows):
-    """Pad (R,16) trace rows to a multiple-of-8 row count for VMEM tiling."""
-    R = rows.shape[0]
+    """Pad trace rows to a multiple-of-8 row count for VMEM tiling."""
+    R, W = rows.shape
     R_pad = -(-R // 8) * 8
     if R_pad == R:
         return rows.astype(jnp.float32)
-    out = jnp.zeros((R_pad, 16), jnp.float32)
+    out = jnp.zeros((R_pad, W), jnp.float32)
     return out.at[:R, :].set(rows.astype(jnp.float32))
 
 
@@ -201,7 +201,7 @@ def traverse_packets(rows, o, d, tmin, tmax, *, any_hit=False, interpret=False):
     """Packet-traverse rays against the trace-row table.
 
     Args:
-      rows: (R,12) f32 trace rows (scene.compile.build_trace_rows).
+      rows: (R,32) f32 trace rows (scene.compile.build_trace_rows).
       o, d: (N,3); tmin/tmax: (N,). N must be a multiple of 1024; callers
         should arrange coherent rays contiguously (each 128 = one packet).
 

@@ -134,31 +134,53 @@ class CompiledScene:
         metadata=dict(static=True), default=()
     )
 
+    # Fully-baked scene constants for the Pallas megakernel: camera, emitter
+    # geometry/power/pdf/cdf, and material parameter tables as nested tuples
+    # of python floats. Baking makes them compile-time immediates inside the
+    # kernel (zero memory traffic, no gathers); the scene is static per
+    # render, so this matches the reference's own specialize-at-compile-time
+    # philosophy (its shaders are recompiled per scene with injected macros,
+    # src/main.rs:769-783).
+    camera_static: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    emitter_bake_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    material_bake_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+
     @property
     def num_shapes(self) -> int:
         return self.num_spheres + self.num_quads + self.num_triangles
 
 
+TRACE_ROW_WIDTH = 32
+
+
 def build_trace_rows(
-    bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag, prim_midx
+    bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag, prim_midx, prim_payload
 ) -> np.ndarray:
     """Flatten the threaded BVH + reordered primitives into one uniform row
     stream for single-gather lockstep traversal.
 
-    Each row is 16 f32 (all ints stored as exact small-int floats):
-      cols 0-2  v0: aabb_min (interior) or prim a
-      cols 3-5  v1: aabb_max (interior) or prim b
-      cols 6-8  v2: prim c (zeros for interior)
-      col  9    kind: -1 interior (AABB test) else primitive kind
-      col  10   exit row: next row if the AABB test fails / after a prim test
-      col  11   prim slot (BVH order) or -1
-      col  12   material tag (prim rows)
-      col  13   material per-type index (prim rows)
-      cols 14-15 reserved
+    Each row is TRACE_ROW_WIDTH f32 (ints stored as exact small-int floats):
+      cols 0-2   v0: aabb_min (interior) or prim a
+      cols 3-5   v1: aabb_max (interior) or prim b
+      cols 6-8   v2: prim c (zeros for interior)
+      col  9     kind: -1 interior (AABB test) else primitive kind
+      col  10    exit row: next row if the AABB test fails / after a prim test
+      col  11    prim slot (BVH order) or -1
+      col  12    material tag (prim rows)
+      col  13    material per-type index (prim rows)
+      cols 14-28 shading payload (prim rows): triangles carry the vertex data
+                 barycentric shading needs (n0,n1,n2 then uv0,uv1,uv2);
+                 spheres carry (center, radius); quads carry (edge1, edge2)
+      cols 29-31 reserved
 
-    Embedding the material handle in the row lets the traversal kernel return
-    it with the hit, removing the per-bounce ``materials[shape_id]`` gather
-    from the shading stage (TPU gathers from device loops are unreliable).
+    Embedding material handle + shading payload in the row lets the traversal
+    kernels return everything shading needs with the hit — no per-lane
+    gathers anywhere in the bounce (TPU gathers in device loops are
+    unreliable; see docs/PERF_NOTES.md).
 
     Interior rows jump to ``cur+1`` on AABB hit (preorder left child) and to
     ``exit`` on miss — the reference's stackless walk
@@ -177,7 +199,7 @@ def build_trace_rows(
     def node_to_row(idx):  # idx may be n_nodes (the off-the-end sentinel)
         return row_start[idx]
 
-    rows = np.zeros((total, 16), dtype=np.float32)
+    rows = np.zeros((total, TRACE_ROW_WIDTH), dtype=np.float32)
     for node in range(n_nodes):
         r0 = int(row_start[node])
         exit_row = float(node_to_row(min(int(bvh.exit[node]), n_nodes)))
@@ -200,6 +222,7 @@ def build_trace_rows(
                 rows[r, 11] = float(slot)
                 rows[r, 12] = float(prim_tag[slot])
                 rows[r, 13] = float(prim_midx[slot])
+                rows[r, 14 : 14 + 15] = prim_payload[slot]
     return rows
 
 
@@ -313,6 +336,22 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         aabb_min[S + Q :] = tv.min(axis=1)
         aabb_max[S + Q :] = tv.max(axis=1)
 
+    # per-prim shading payload (see build_trace_rows cols 14-28)
+    payload = np.zeros((num_shapes, 15), dtype=np.float32)
+    if S:
+        payload[:S, 0:3] = sphere_pr[:, :3]
+        payload[:S, 3] = sphere_pr[:, 3]
+    if Q:
+        payload[S : S + Q, 0:3] = quad_e1
+        payload[S : S + Q, 3:6] = quad_e2
+    if T:
+        payload[S + Q :, 0:3] = normals[tri_idx[:, 0]]
+        payload[S + Q :, 3:6] = normals[tri_idx[:, 1]]
+        payload[S + Q :, 6:9] = normals[tri_idx[:, 2]]
+        payload[S + Q :, 9:11] = uvs[tri_idx[:, 0]]
+        payload[S + Q :, 11:13] = uvs[tri_idx[:, 1]]
+        payload[S + Q :, 13:15] = uvs[tri_idx[:, 2]]
+
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     order = bvh.prim_order  # reordered slot -> global shape index
     mats_by_order = shape_mats[order]
@@ -324,23 +363,68 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         kind[order],
         mats_by_order >> MATERIAL_TAG_SHIFT,
         mats_by_order & ((1 << MATERIAL_TAG_SHIFT) - 1),
+        payload[order],
     )
 
     # static per-emitter metadata for gather-free unrolled emitter sampling
     em_kind, em_local, em_midx = [], [], []
-    for sh in em_shape.tolist():
+    em_bake = []
+    emissive_np = np.asarray(emis, dtype=np.float32).reshape(-1, 3)
+    for ei, sh in enumerate(em_shape.tolist()):
+        midx = int(shape_mats[sh]) & ((1 << MATERIAL_TAG_SHIFT) - 1)
+        power = tuple(float(x) for x in emissive_np[midx])
+        pdf = float(em_pdf[ei]) if E else 0.0
+        cdf_v = float(em_cdf[ei]) if E else 0.0
         if sh < S:
             em_kind.append(KIND_SPHERE)
             em_local.append(int(sh))
+            geom = tuple(float(x) for x in sphere_pr[sh]) + (0.0,) * 14
         elif sh < S + Q:
             em_kind.append(KIND_QUAD)
-            em_local.append(int(sh) - S)
+            li = int(sh) - S
+            em_local.append(li)
+            geom = (
+                tuple(float(x) for x in quad_o[li])
+                + tuple(float(x) for x in quad_e1[li])
+                + tuple(float(x) for x in quad_e2[li])
+                + (0.0,) * 9
+            )
         else:
             em_kind.append(KIND_TRIANGLE)
-            em_local.append(int(sh) - S - Q)
-        em_midx.append(int(shape_mats[sh]) & ((1 << MATERIAL_TAG_SHIFT) - 1))
+            li = int(sh) - S - Q
+            em_local.append(li)
+            tri = tri_idx[li]
+            geom = (
+                tuple(float(x) for x in positions[tri[0]])
+                + tuple(float(x) for x in positions[tri[1]])
+                + tuple(float(x) for x in positions[tri[2]])
+                + tuple(float(x) for x in normals[tri[0]])
+                + tuple(float(x) for x in normals[tri[1]])
+                + tuple(float(x) for x in normals[tri[2]])
+            )
+        em_midx.append(midx)
+        em_bake.append((em_kind[-1], pdf, cdf_v) + power + geom)
 
     cam: Camera = scene.camera
+    camera_static = (
+        tuple(float(x) for x in np.asarray(cam.position).reshape(3))
+        + tuple(float(x) for x in np.asarray(cam.rotation).reshape(4))
+        + (float(cam.fov),)
+    )
+    material_bake = (
+        tuple(tuple(float(x) for x in row) for row in np.asarray(diffuse, np.float32).reshape(-1, 3)),
+        tuple(
+            tuple(float(x) for x in c1) + (float(sc[0]),) + tuple(float(x) for x in c2) + (float(sc[1]),)
+            for c1, c2, sc in zip(
+                np.asarray(cb1, np.float32).reshape(-1, 3),
+                np.asarray(cb2, np.float32).reshape(-1, 3),
+                np.asarray(cbs, np.float32).reshape(-1, 2),
+            )
+        ),
+        tuple(tuple(float(x) for x in row) for row in np.asarray(diel, np.float32).reshape(-1, 4)),
+        tuple(tuple(float(x) for x in row) for row in emissive_np),
+    )
+
     return CompiledScene(
         cam_position=np.asarray(cam.position, dtype=np.float32).reshape(3),
         cam_rotation=np.asarray(cam.rotation, dtype=np.float32).reshape(4),
@@ -384,6 +468,9 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         emitter_kind_static=tuple(em_kind),
         emitter_local_static=tuple(em_local),
         emitter_midx_static=tuple(em_midx),
+        camera_static=camera_static,
+        emitter_bake_static=tuple(em_bake),
+        material_bake_static=material_bake,
     )
 
 
