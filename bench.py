@@ -1,9 +1,14 @@
-"""Benchmark harness: cbox @ 1024^2 on the available accelerator.
+"""Benchmark harness: cbox @ 1024^2 full path trace on the available chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 metric is primary Mrays/s/chip (the reference's own rays/s definition,
 src/main.rs:1490-1492: width*height*spp / wall-clock) and the baseline is the
 BASELINE.json north-star target of 100 Mrays/s/chip.
+
+Timing methodology (see docs/PERF_NOTES.md): on this stack
+block_until_ready() does not reliably synchronize, so the timed region chains
+all sweeps into one accumulated film and ends with a forced host
+materialization.
 
 Extra diagnostics go to stderr so stdout stays a single JSON line.
 """
@@ -19,69 +24,57 @@ def log(*a):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from hijiki_tpu.render.renderer import RenderConfig, Renderer, render_sweep
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
     from hijiki_tpu.scene.compile import compile_scene
     from hijiki_tpu.scene.obj import load_obj_scene
 
     W = H = 1024
-    warmup_sweeps = 1
-    timed_sweeps = 4
+    warmup_spp = 1
+    timed_spp = 4
 
-    log(f"devices: {jax.devices()}")
+    on_tpu = jax.devices()[0].platform != "cpu"
+    driver = "mega" if on_tpu else "sync"
+    log(f"devices: {jax.devices()}, driver: {driver}")
+
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()
     compiled = compile_scene(scene)
+    log(
+        f"scene: {compiled.num_prims} prims, {compiled.num_bvh_nodes} BVH nodes, "
+        f"{compiled.trace_rows.shape[0]} trace rows"
+    )
+
+    # warmup render (compiles everything), forced via image()
     cfg = RenderConfig(
-        width=W,
-        height=H,
-        spp=warmup_sweeps + timed_sweeps,
-        block_size=128,
-        seed=0,
-        use_bvh=True,
-        max_bounces=1000,
+        width=W, height=H, spp=warmup_spp, seed=0, driver=driver, max_bounces=1000
     )
     r = Renderer(compiled, cfg)
-    kwargs = r._sweep_kwargs()
-
-    # warmup (compile)
     t0 = time.monotonic()
-    for s in range(warmup_sweeps):
-        sched = r.scheduler.sweep(s)
-        delta, _ = render_sweep(
-            r.scene,
-            jnp.asarray(sched.block_seeds),
-            jnp.asarray(sched.sample_offset),
-            **kwargs,
-        )
-        r.film = r.film + delta
-    r.film.block_until_ready()
-    log(f"warmup (incl. compile): {time.monotonic()-t0:.2f}s")
+    r.render()
+    img = r.image()
+    log(f"warmup (incl. compile): {time.monotonic()-t0:.1f}s, mean {img.mean():.4f}")
 
+    # timed: fresh renderer, different seed, forced materialization at the end
+    cfg = RenderConfig(
+        width=W, height=H, spp=timed_spp, seed=1, driver=driver, max_bounces=1000
+    )
+    r = Renderer(compiled, cfg)
     t0 = time.monotonic()
-    for s in range(warmup_sweeps, warmup_sweeps + timed_sweeps):
-        sched = r.scheduler.sweep(s)
-        delta, _ = render_sweep(
-            r.scene,
-            jnp.asarray(sched.block_seeds),
-            jnp.asarray(sched.sample_offset),
-            **kwargs,
-        )
-        r.film = r.film + delta
-    r.film.block_until_ready()
+    r.render()
+    img = r.image()  # host materialization = true synchronization
     elapsed = time.monotonic() - t0
 
-    primary = W * H * timed_sweeps
+    primary = W * H * timed_spp
     mrays = primary / elapsed / 1e6
-    img = r.image()
-    log(f"timed: {timed_sweeps} sweeps in {elapsed:.3f}s -> {mrays:.2f} Mrays/s")
-    log(f"image mean {float(img.mean()):.4f} (finite={bool((img == img).all())})")
+    finite = bool((img == img).all())
+    log(f"timed: {timed_spp} spp in {elapsed:.2f}s -> {mrays:.3f} Mrays/s")
+    log(f"image mean {float(img.mean()):.4f} (finite={finite})")
 
     print(
         json.dumps(
             {
-                "metric": "primary Mrays/s/chip, cbox 1024^2 (+spheres), BVH, full path trace",
+                "metric": "primary Mrays/s/chip, cbox 1024^2 (+spheres), full path trace (NEE, RR, 1000-bounce cap), bilateral reconstruction",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 4),

@@ -52,6 +52,7 @@ TAG_DIELECTRIC = 3.0
 TAG_EMISSIVE = 4.0
 
 f32 = jnp.float32
+BIG = 3.0e38  # f32-finite stand-in for the reference's 1e100 -> inf tmax
 
 
 # ----------------------------------------------------------------------------
@@ -294,71 +295,17 @@ def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
 # ----------------------------------------------------------------------------
 
 
-def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+def _bounce_loop(rows_ref, cfg, init):
+    """Run the bounce while-loop from an initial state dict; returns final state."""
     num_rows = cfg["num_rows"]
     max_bounces = cfg["max_bounces"]
-    cam = cfg["camera"]  # (pos3, quat4, fov)
-    W, H = cfg["width"], cfg["height"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
 
-    px = px_ref[...]
-    py = py_ref[...]
-    seed = seed_ref[...]
-
-    # --- camera raygen (shader/render.glsl:26-36), rotation matrix baked ---
-    cx, cy, cz, qx, qy, qz, qw, fov = cam
-    # quaternion -> rotation matrix (python floats)
-    R00 = 1 - 2 * (qy * qy + qz * qz)
-    R01 = 2 * (qx * qy - qz * qw)
-    R02 = 2 * (qx * qz + qy * qw)
-    R10 = 2 * (qx * qy + qz * qw)
-    R11 = 1 - 2 * (qx * qx + qz * qz)
-    R12 = 2 * (qy * qz - qx * qw)
-    R20 = 2 * (qx * qz - qy * qw)
-    R21 = 2 * (qy * qz + qx * qw)
-    R22 = 1 - 2 * (qx * qx + qy * qy)
-    scale = math.tan(math.radians(0.5 * fov)) / (0.5 * W)
-    lx = (px - f32(0.5 * W)) * f32(scale)
-    ly = -(py - f32(0.5 * H)) * f32(scale)
-    dxu = f32(R00) * lx + f32(R01) * ly - f32(R02)
-    dyu = f32(R10) * lx + f32(R11) * ly - f32(R12)
-    dzu = f32(R20) * lx + f32(R21) * ly - f32(R22)
-    inv_len = jax.lax.rsqrt(dxu * dxu + dyu * dyu + dzu * dzu)
-
-    state0 = _wang_hash(seed)
-
-    BIG = 3.0e38  # f32-finite stand-in for the reference's 1e100 -> inf tmax
-
-    init = dict(
-        alive=jnp.ones((SUBLANES, PACKET), jnp.int32),
-        bounce=jnp.zeros((SUBLANES, PACKET), jnp.int32),
-        ox=jnp.full((SUBLANES, PACKET), f32(cx)),
-        oy=jnp.full((SUBLANES, PACKET), f32(cy)),
-        oz=jnp.full((SUBLANES, PACKET), f32(cz)),
-        dx=dxu * inv_len,
-        dy=dyu * inv_len,
-        dz=dzu * inv_len,
-        tmin=jnp.full((SUBLANES, PACKET), f32(M_EPS)),
-        state=state0,
-        tr=jnp.ones((SUBLANES, PACKET), f32),
-        tg=jnp.ones((SUBLANES, PACKET), f32),
-        tb=jnp.ones((SUBLANES, PACKET), f32),
-        er=jnp.zeros((SUBLANES, PACKET), f32),
-        eg=jnp.zeros((SUBLANES, PACKET), f32),
-        eb=jnp.zeros((SUBLANES, PACKET), f32),
-        Lr=jnp.zeros((SUBLANES, PACKET), f32),
-        Lg=jnp.zeros((SUBLANES, PACKET), f32),
-        Lb=jnp.zeros((SUBLANES, PACKET), f32),
-        wd=jnp.ones((SUBLANES, PACKET), jnp.int32),  # wasDiscrete
-        depth=jnp.zeros((SUBLANES, PACKET), f32),
-        n1=jnp.zeros((SUBLANES, PACKET), f32),
-        n2=jnp.zeros((SUBLANES, PACKET), f32),
-        n3=jnp.zeros((SUBLANES, PACKET), f32),
-    )
-
     def cond(s):
-        return jnp.any(s["alive"] > 0) & jnp.all(s["bounce"][0, 0] < max_bounces)
+        # max over lanes: resumed tiles mix stale dead lanes (smaller bounce)
+        # with alive lanes that all share the phase-start bounce count
+        return jnp.any(s["alive"] > 0) & (jnp.max(s["bounce"]) < max_bounces)
 
     def body(s):
         alive = s["alive"] > 0
@@ -766,7 +713,70 @@ def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, c
             n3=n3o,
         )
 
-    s = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _camera_init(px, py, seed, cfg):
+    """Initial per-tile path state from camera rays (render.glsl:26-36)."""
+    cam = cfg["camera"]  # (pos3, quat4, fov)
+    W, H = cfg["width"], cfg["height"]
+
+
+    # --- camera raygen (shader/render.glsl:26-36), rotation matrix baked ---
+    cx, cy, cz, qx, qy, qz, qw, fov = cam
+    # quaternion -> rotation matrix (python floats)
+    R00 = 1 - 2 * (qy * qy + qz * qz)
+    R01 = 2 * (qx * qy - qz * qw)
+    R02 = 2 * (qx * qz + qy * qw)
+    R10 = 2 * (qx * qy + qz * qw)
+    R11 = 1 - 2 * (qx * qx + qz * qz)
+    R12 = 2 * (qy * qz - qx * qw)
+    R20 = 2 * (qx * qz - qy * qw)
+    R21 = 2 * (qy * qz + qx * qw)
+    R22 = 1 - 2 * (qx * qx + qy * qy)
+    scale = math.tan(math.radians(0.5 * fov)) / (0.5 * W)
+    lx = (px - f32(0.5 * W)) * f32(scale)
+    ly = -(py - f32(0.5 * H)) * f32(scale)
+    dxu = f32(R00) * lx + f32(R01) * ly - f32(R02)
+    dyu = f32(R10) * lx + f32(R11) * ly - f32(R12)
+    dzu = f32(R20) * lx + f32(R21) * ly - f32(R22)
+    inv_len = jax.lax.rsqrt(dxu * dxu + dyu * dyu + dzu * dzu)
+
+    state0 = _wang_hash(seed)
+
+    init = dict(
+        alive=jnp.ones((SUBLANES, PACKET), jnp.int32),
+        bounce=jnp.zeros((SUBLANES, PACKET), jnp.int32),
+        ox=jnp.full((SUBLANES, PACKET), f32(cx)),
+        oy=jnp.full((SUBLANES, PACKET), f32(cy)),
+        oz=jnp.full((SUBLANES, PACKET), f32(cz)),
+        dx=dxu * inv_len,
+        dy=dyu * inv_len,
+        dz=dzu * inv_len,
+        tmin=jnp.full((SUBLANES, PACKET), f32(M_EPS)),
+        state=state0,
+        tr=jnp.ones((SUBLANES, PACKET), f32),
+        tg=jnp.ones((SUBLANES, PACKET), f32),
+        tb=jnp.ones((SUBLANES, PACKET), f32),
+        er=jnp.zeros((SUBLANES, PACKET), f32),
+        eg=jnp.zeros((SUBLANES, PACKET), f32),
+        eb=jnp.zeros((SUBLANES, PACKET), f32),
+        Lr=jnp.zeros((SUBLANES, PACKET), f32),
+        Lg=jnp.zeros((SUBLANES, PACKET), f32),
+        Lb=jnp.zeros((SUBLANES, PACKET), f32),
+        wd=jnp.ones((SUBLANES, PACKET), jnp.int32),  # wasDiscrete
+        depth=jnp.zeros((SUBLANES, PACKET), f32),
+        n1=jnp.zeros((SUBLANES, PACKET), f32),
+        n2=jnp.zeros((SUBLANES, PACKET), f32),
+        n3=jnp.zeros((SUBLANES, PACKET), f32),
+    )
+
+    return init
+
+
+def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+    init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
+    s = _bounce_loop(rows_ref, cfg, init)
     out_ref[0] = s["Lr"]
     out_ref[1] = s["Lg"]
     out_ref[2] = s["Lb"]
@@ -832,3 +842,225 @@ def render_tiles(
     normal = jnp.stack([out[:, 3 + k].reshape(N) for k in range(3)], axis=-1)
     depth = out[:, 6].reshape(N)
     return total, normal, depth, state[:, 0].reshape(N)
+
+
+# ----------------------------------------------------------------------------
+# state-resumable kernels + the phased wavefront driver
+# ----------------------------------------------------------------------------
+
+# f32 state-pack channel order (ints stored as exact small floats)
+_STATE_CH = [
+    "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
+    "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
+    "depth", "n1", "n2", "n3",
+]
+N_STATE = len(_STATE_CH)
+
+
+def _write_state(st_ref, rng_ref, s):
+    for i, ch in enumerate(_STATE_CH):
+        val = s[ch]
+        if val.dtype != jnp.float32:
+            val = val.astype(f32)
+        st_ref[i] = val
+    rng_ref[0] = s["state"]
+
+
+def _read_state(st_ref, rng_ref):
+    s = {}
+    for i, ch in enumerate(_STATE_CH):
+        v = st_ref[i]
+        if ch in ("alive", "bounce", "wd"):
+            v = v.astype(jnp.int32)
+        s[ch] = v
+    s["state"] = rng_ref[0]
+    return s
+
+
+def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cfg):
+    """Camera launch: raygen + bounce up to cfg['max_bounces'], emit state."""
+    init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
+    s = _bounce_loop(rows_ref, cfg, init)
+    _write_state(st_out, rng_out, s)
+
+
+def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
+    """Resume launch: continue paths from a packed state."""
+    init = _read_state(st_in, rng_in)
+    s = _bounce_loop(rows_ref, cfg, init)
+    _write_state(st_out, rng_out, s)
+
+
+def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for a in ins:
+        nch = a.shape[1] if a.ndim == 4 else None
+        if a.ndim == 4:
+            in_specs.append(
+                pl.BlockSpec((None, nch, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((None, N_STATE, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, N_STATE, SUBLANES, PACKET), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, PACKET), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(rows, *ins)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_bounces", "phase_bounces", "interpret"),
+)
+def render_waves(
+    scene: CompiledScene,
+    px,
+    py,
+    seeds,
+    *,
+    width: int,
+    height: int,
+    max_bounces: int = 1000,
+    phase_bounces: tuple = (48, 208),
+    interpret: bool = False,
+):
+    """Phased wavefront render: megakernel launches with compaction + spatial
+    sorting between phases.
+
+    Phase 0 traces every path for up to phase_bounces[0] bounces (tiles retire
+    early). Between phases the surviving paths are compacted to a fraction of
+    the lane count and sorted by (origin cell, direction octant) so packets
+    stay coherent, then resumed with a higher bounce cap; the final phase runs
+    to max_bounces. This is the full wavefront architecture: the megakernel is
+    the multi-bounce stage, XLA does the inter-stage compaction (it only runs
+    once per phase, so its slowness doesn't matter).
+
+    Survivor capacities are N/4 after phase 0 and N/16 after phase 1; paths
+    beyond capacity (never observed for the shipped scenes — Russian roulette
+    kills ~25%/bounce early on) would be dropped and are counted in the
+    returned `overflow` so callers can detect bias.
+
+    Returns (total (N,3), normal (N,3), depth (N,), state (N,), overflow ()).
+    """
+    N = px.shape[0]
+    if N % TILE != 0:
+        raise ValueError("pad ray count to a multiple of 1024")
+    rows = scene.trace_rows
+    R = rows.shape[0]
+
+    base_cfg = dict(
+        num_rows=R,
+        camera=scene.camera_static,
+        width=width,
+        height=height,
+        emitters=scene.emitter_bake_static,
+        materials=scene.material_bake_static,
+    )
+
+    caps = list(phase_bounces) + [max_bounces]
+    caps = [min(c, max_bounces) for c in caps]
+
+    def tiles_of(n):
+        return n // TILE
+
+    # ---- phase 0: camera launch over all N lanes ----
+    shape3 = (tiles_of(N), SUBLANES, PACKET)
+    st, rng_st = _launch_state_kernel(
+        _megakernel_start,
+        dict(base_cfg, max_bounces=caps[0]),
+        rows,
+        [px.reshape(shape3), py.reshape(shape3), seeds.reshape(shape3)],
+        tiles_of(N),
+        interpret,
+    )
+
+    def unpack(st, rng_st, n):
+        flat = jnp.moveaxis(st, 1, 0).reshape(N_STATE, n)
+        return flat, rng_st.reshape(n)
+
+    flat, rngf = unpack(st, rng_st, N)
+
+    # result buffers indexed by original lane (layout: Lr,Lg,Lb,n1,n2,n3,depth)
+    orig = jnp.arange(N, dtype=jnp.int32)
+
+    def commit(res, res_state, flat, rngf, orig):
+        vals = jnp.stack(
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19]]
+        )
+        res = res.at[:, orig].set(vals)
+        res_state = res_state.at[orig].set(rngf)
+        return res, res_state
+
+    # phase 0 covers every lane in order: plain copy, no scatter
+    res = jnp.stack(
+        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19]]
+    )
+    res_state = rngf
+
+    overflow = jnp.int32(0)
+    n_lanes = N
+    root_min = scene.bvh_aabb_min[0]
+    root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
+
+    for pi, cap in enumerate(caps[1:]):
+        n_next = max(TILE, n_lanes // 4)
+        alive = flat[0] > 0
+        alive_i = alive.astype(jnp.int32)
+        n_alive = jnp.sum(alive_i)
+        overflow = overflow + jnp.maximum(n_alive - n_next, 0)
+        if n_lanes > 65536:
+            # cumsum-based stable partition (argsort at this size is too slow
+            # on this stack): survivors keep order, dead lanes go past the end
+            rank_alive = jnp.cumsum(alive_i) - 1
+            rank_dead = jnp.cumsum(1 - alive_i) - 1 + n_alive
+            pos = jnp.where(alive, rank_alive, rank_dead)
+            inv = jnp.zeros(n_lanes, jnp.int32).at[pos].set(
+                jnp.arange(n_lanes, dtype=jnp.int32)
+            )
+            order = inv[:n_next]
+        else:
+            # small survivor sets: full coherence sort (origin cell + octant)
+            qx = jnp.clip(((flat[2] - root_min[0]) / root_span[0] * 8).astype(jnp.int32), 0, 7)
+            qy = jnp.clip(((flat[3] - root_min[1]) / root_span[1] * 8).astype(jnp.int32), 0, 7)
+            qz = jnp.clip(((flat[4] - root_min[2]) / root_span[2] * 8).astype(jnp.int32), 0, 7)
+            octant = (
+                (flat[5] > 0).astype(jnp.int32)
+                + 2 * (flat[6] > 0).astype(jnp.int32)
+                + 4 * (flat[7] > 0).astype(jnp.int32)
+            )
+            key = jnp.where(alive, octant + 8 * (qx + 8 * (qy + 8 * qz)), jnp.int32(1 << 20))
+            order = jnp.argsort(key)[:n_next]
+        flat = flat[:, order]
+        rngf = rngf[order]
+        orig = orig[order]
+
+        st_in = jnp.moveaxis(
+            flat.reshape(N_STATE, tiles_of(n_next), SUBLANES, PACKET), 0, 1
+        )
+        rng_in = rngf.reshape(tiles_of(n_next), 1, SUBLANES, PACKET)
+        st, rng_st = _launch_state_kernel(
+            _megakernel_resume,
+            dict(base_cfg, max_bounces=cap),
+            rows,
+            [st_in, rng_in],
+            tiles_of(n_next),
+            interpret,
+        )
+        flat, rngf = unpack(st, rng_st, n_next)
+        res, res_state = commit(res, res_state, flat, rngf, orig)
+        n_lanes = n_next
+
+    total = jnp.stack([res[0], res[1], res[2]], axis=-1)
+    normal = jnp.stack([res[3], res[4], res[5]], axis=-1)
+    return total, normal, res[6], res_state, overflow

@@ -56,19 +56,22 @@ class BlockScheduler:
 
 
 def per_pixel_seeds(width, height, block_size, block_seeds):
-    """Per-pixel RNG seeds for a sweep (jnp; runs under jit).
+    """Per-pixel RNG seeds for a sweep (numpy, host side).
 
     seed = block_seed + lx + ly * block_width_clipped
     (``shader/render.glsl:156-157`` with ``dimension`` = the clipped block
-    dims from ``src/main.rs:657-658``).
+    dims from ``src/main.rs:657-658``). Computed on host: the device-side
+    version needs a (H,W)-indexed gather, which this TPU stack compiles
+    pathologically (docs/PERF_NOTES.md).
     """
-    import jax
-    import jax.numpy as jnp
-
-    y = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    x = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    block_seeds = np.asarray(block_seeds, dtype=np.uint32)
+    y, x = np.mgrid[0:height, 0:width]
     bx, by = x // block_size, y // block_size
     lx, ly = x - bx * block_size, y - by * block_size
-    bw = jnp.minimum(block_size, width - bx * block_size)
-    base = block_seeds[by, bx]
-    return base + lx.astype(jnp.uint32) + ly.astype(jnp.uint32) * bw.astype(jnp.uint32)
+    bw = np.minimum(block_size, width - bx * block_size)
+    with np.errstate(over="ignore"):
+        return (
+            block_seeds[by, bx]
+            + lx.astype(np.uint32)
+            + ly.astype(np.uint32) * bw.astype(np.uint32)
+        )

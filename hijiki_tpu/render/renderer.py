@@ -82,7 +82,7 @@ class RenderConfig:
 )
 def render_sweep(
     scene: CompiledScene,
-    block_seeds,
+    pixel_seeds,
     sample_offset,
     *,
     width: int,
@@ -101,7 +101,7 @@ def render_sweep(
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
     H, W = height, width
-    seeds = per_pixel_seeds(W, H, block_size, block_seeds)
+    seeds = pixel_seeds
 
     y = jax.lax.broadcasted_iota(f32, (H, W), 0)
     x = jax.lax.broadcasted_iota(f32, (H, W), 1)
@@ -109,7 +109,25 @@ def render_sweep(
     if not traversal:
         traversal = "rows" if use_bvh else "brute"
 
-    if driver == "wavefront":
+    if driver == "mega":
+        # Pallas megakernel wavefront (ops/pallas_megakernel.py): the whole
+        # path trace runs on-chip; XLA only does inter-phase compaction.
+        from hijiki_tpu.ops.pallas_megakernel import render_waves
+
+        t_, n_, dep_, _, _ = render_waves(
+            scene,
+            px[..., 0].reshape(-1),
+            px[..., 1].reshape(-1),
+            seeds.reshape(-1),
+            width=W,
+            height=H,
+            max_bounces=max_bounces,
+        )
+        total = t_.reshape(H, W, 3)
+        normal = n_.reshape(H, W, 3)
+        depth = dep_.reshape(H, W)
+        albedo = jnp.zeros((H, W, 3), f32)
+    elif driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
 
         imgs = render_wavefront(
@@ -150,15 +168,24 @@ def render_sweep(
         )
         total, normal, depth, albedo = out.total, out.normal, out.depth, out.albedo
 
-    film_delta = reconstruct_sweep(
-        total,
-        normal,
-        albedo,
-        sample_offset,
-        block_size=block_size,
-        radius=radius,
-        stddev=stddev,
-    )
+    if driver == "mega" and radius == 2:
+        # Pallas stencil (render/pallas_reconstruct.py): the XLA formulation
+        # costs tens of seconds per sweep on this stack (docs/PERF_NOTES.md)
+        from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
+
+        film_delta = reconstruct_pallas(
+            total, normal, sample_offset, block_size=block_size, stddev=stddev
+        )
+    else:
+        film_delta = reconstruct_sweep(
+            total,
+            normal,
+            albedo,
+            sample_offset,
+            block_size=block_size,
+            radius=radius,
+            stddev=stddev,
+        )
     stats = dict(
         mean_radiance=jnp.mean(total),
         mean_depth=jnp.mean(depth),
@@ -201,9 +228,12 @@ class Renderer:
         start = time.monotonic()
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
+            pixel_seeds = per_pixel_seeds(
+                c.width, c.height, c.block_size, sched.block_seeds
+            )
             delta, _ = render_sweep(
                 self.scene,
-                jnp.asarray(sched.block_seeds),
+                jnp.asarray(pixel_seeds),
                 jnp.asarray(sched.sample_offset),
                 **kwargs,
             )
