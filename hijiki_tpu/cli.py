@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint-interval", type=int, default=0, help="Sweeps between checkpoints"
     )
     p.add_argument(
+        "--driver",
+        choices=["sync", "wavefront", "mega"],
+        default="sync",
+        help="Execution driver: sync (bulk-synchronous), wavefront "
+        "(regenerating lane pool), mega (Pallas megakernel, TPU only)",
+    )
+    p.add_argument(
         "--devices",
         type=int,
         default=1,
@@ -90,6 +97,7 @@ def main(argv=None) -> int:
         max_bounces=args.max_bounces,
         preview_interval=args.present_interval,
         preview_path=args.preview_image,
+        driver=args.driver,
     )
 
     if args.devices > 1:
