@@ -951,7 +951,8 @@ def render_waves(
     kills ~25%/bounce early on) would be dropped and are counted in the
     returned `overflow` so callers can detect bias.
 
-    Returns (total (N,3), normal (N,3), depth (N,), state (N,), overflow ()).
+    Returns (total (N,3), normal (N,3), depth (N,), state (N,), overflow (),
+    bounces (N,) — per-path segment count, for secondary-ray statistics).
     """
     N = px.shape[0]
     if N % TILE != 0:
@@ -996,15 +997,16 @@ def render_waves(
 
     def commit(res, res_state, flat, rngf, orig):
         vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19]]
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1]]
         )
         res = res.at[:, orig].set(vals)
         res_state = res_state.at[orig].set(rngf)
         return res, res_state
 
     # phase 0 covers every lane in order: plain copy, no scatter
+    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces)
     res = jnp.stack(
-        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19]]
+        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1]]
     )
     res_state = rngf
 
@@ -1063,4 +1065,4 @@ def render_waves(
 
     total = jnp.stack([res[0], res[1], res[2]], axis=-1)
     normal = jnp.stack([res[3], res[4], res[5]], axis=-1)
-    return total, normal, res[6], res_state, overflow
+    return total, normal, res[6], res_state, overflow, res[7]

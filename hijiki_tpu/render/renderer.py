@@ -114,7 +114,7 @@ def render_sweep(
         # path trace runs on-chip; XLA only does inter-phase compaction.
         from hijiki_tpu.ops.pallas_megakernel import render_waves
 
-        t_, n_, dep_, _, _ = render_waves(
+        t_, n_, dep_, _, _, bounces_ = render_waves(
             scene,
             px[..., 0].reshape(-1),
             px[..., 1].reshape(-1),
@@ -127,6 +127,7 @@ def render_sweep(
         normal = n_.reshape(H, W, 3)
         depth = dep_.reshape(H, W)
         albedo = jnp.zeros((H, W, 3), f32)
+        path_segments = jnp.sum(bounces_)
     elif driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
 
@@ -186,9 +187,14 @@ def render_sweep(
             radius=radius,
             stddev=stddev,
         )
+    if driver != "mega":
+        path_segments = jnp.float32(0.0)
     stats = dict(
         mean_radiance=jnp.mean(total),
         mean_depth=jnp.mean(depth),
+        # total path segments (closest-hit casts); diffuse bounces add one
+        # shadow cast each, so true ray casts are between 1x and 2x this
+        path_segments=path_segments,
     )
     return film_delta, stats
 
@@ -226,17 +232,19 @@ class Renderer:
         c = self.config
         kwargs = self._sweep_kwargs()
         start = time.monotonic()
+        total_segments = 0.0
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
             pixel_seeds = per_pixel_seeds(
                 c.width, c.height, c.block_size, sched.block_seeds
             )
-            delta, _ = render_sweep(
+            delta, stats = render_sweep(
                 self.scene,
                 jnp.asarray(pixel_seeds),
                 jnp.asarray(sched.sample_offset),
                 **kwargs,
             )
+            self._last_stats = stats
             self.film = self.film + delta
             self.sweeps_done = sweep + 1
             if progress is not None:
@@ -252,6 +260,13 @@ class Renderer:
             rays_per_second=primary_rays / elapsed if elapsed > 0 else 0.0,
             spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
         )
+        if getattr(self, "_last_stats", None) is not None:
+            segs = float(self._last_stats.get("path_segments", 0.0))
+            if segs > 0:
+                # per-sweep path segments (closest-hit casts); the reference's
+                # printed rays/s counts primary rays only (src/main.rs:1490)
+                self.metrics["path_segments_last_sweep"] = segs
+                self.metrics["mean_path_length"] = segs / (c.width * c.height)
         return self.metrics
 
     def image(self) -> np.ndarray:

@@ -92,3 +92,20 @@ def test_megakernel_dielectric(setup):
     np.testing.assert_allclose(
         np.asarray(total), np.asarray(out.total), rtol=2e-3, atol=2e-3
     )
+
+
+def test_render_waves_matches_single_launch(setup):
+    """Phased (compaction+sort) launches == one launch, path for path."""
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles, render_waves
+
+    cs, W, H, px, py, seeds = setup
+    t1 = render_tiles(cs, px, py, seeds, width=W, height=H, max_bounces=24, interpret=True)
+    tw = render_waves(
+        cs, px, py, seeds, width=W, height=H, max_bounces=24,
+        phase_bounces=(6, 12), interpret=True,
+    )
+    assert int(tw[4]) == 0  # no capacity overflow
+    np.testing.assert_array_equal(np.asarray(tw[3]), np.asarray(t1[3]))  # RNG states
+    np.testing.assert_allclose(np.asarray(tw[0]), np.asarray(t1[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tw[2]), np.asarray(t1[2]), rtol=1e-5)
+    assert float(tw[5].sum()) > 0  # bounce statistics populated
