@@ -921,7 +921,9 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_bounces", "phase_bounces", "interpret"),
+    static_argnames=(
+        "width", "height", "max_bounces", "phase_bounces", "phase_shrink", "interpret"
+    ),
 )
 def render_waves(
     scene: CompiledScene,
@@ -932,7 +934,8 @@ def render_waves(
     width: int,
     height: int,
     max_bounces: int = 1000,
-    phase_bounces: tuple = (48, 208),
+    phase_bounces: tuple = (8, 24, 96),
+    phase_shrink: tuple = (2, 4, 4),
     interpret: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
@@ -971,6 +974,7 @@ def render_waves(
 
     caps = list(phase_bounces) + [max_bounces]
     caps = [min(c, max_bounces) for c in caps]
+    shrinks = list(phase_shrink) + [4] * (len(caps) - 1 - len(phase_shrink))
 
     def tiles_of(n):
         return n // TILE
@@ -1016,7 +1020,7 @@ def render_waves(
     root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
 
     for pi, cap in enumerate(caps[1:]):
-        n_next = max(TILE, n_lanes // 4)
+        n_next = max(TILE, n_lanes // shrinks[pi])
         alive = flat[0] > 0
         alive_i = alive.astype(jnp.int32)
         n_alive = jnp.sum(alive_i)

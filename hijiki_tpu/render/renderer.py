@@ -114,7 +114,7 @@ def render_sweep(
         # path trace runs on-chip; XLA only does inter-phase compaction.
         from hijiki_tpu.ops.pallas_megakernel import render_waves
 
-        t_, n_, dep_, _, _, bounces_ = render_waves(
+        t_, n_, dep_, _, overflow_, bounces_ = render_waves(
             scene,
             px[..., 0].reshape(-1),
             px[..., 1].reshape(-1),
@@ -128,6 +128,7 @@ def render_sweep(
         depth = dep_.reshape(H, W)
         albedo = jnp.zeros((H, W, 3), f32)
         path_segments = jnp.sum(bounces_)
+        wave_overflow = overflow_
     elif driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
 
@@ -189,7 +190,11 @@ def render_sweep(
         )
     if driver != "mega":
         path_segments = jnp.float32(0.0)
+        wave_overflow = jnp.int32(0)
     stats = dict(
+        # paths dropped by phase-capacity overflow (0 = unbiased); see
+        # ops/pallas_megakernel.render_waves
+        wave_overflow=wave_overflow,
         mean_radiance=jnp.mean(total),
         mean_depth=jnp.mean(depth),
         # total path segments (closest-hit casts); diffuse bounces add one
@@ -261,6 +266,16 @@ class Renderer:
             spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
         )
         if getattr(self, "_last_stats", None) is not None:
+            ovf = int(self._last_stats.get("wave_overflow", 0))
+            self.metrics["wave_overflow"] = ovf
+            if ovf:
+                import warnings
+
+                warnings.warn(
+                    f"{ovf} paths exceeded wavefront phase capacity and were "
+                    "dropped (biased estimate); raise phase capacities "
+                    "(RenderConfig/phase_shrink) for this scene"
+                )
             segs = float(self._last_stats.get("path_segments", 0.0))
             if segs > 0:
                 # per-sweep path segments (closest-hit casts); the reference's
