@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(regenerating lane pool), mega (Pallas megakernel, TPU only)",
     )
     p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="Write a jax.profiler trace of the render to this directory",
+    )
+    p.add_argument(
         "--devices",
         type=int,
         default=1,
@@ -130,19 +135,43 @@ def main(argv=None) -> int:
             renderer.save_checkpoint(args.checkpoint)
             last_ckpt[0] = done
 
-    metrics = renderer.render(progress=progress)
+    # Partial-render-on-interrupt: the reference saves the image even when the
+    # preview window is closed mid-render (src/main.rs:1349-1352,1493); we do
+    # the same on Ctrl-C, plus a resumable checkpoint.
+    interrupted = False
+    try:
+        if args.profile_dir:
+            import jax
+
+            with jax.profiler.trace(args.profile_dir):
+                metrics = renderer.render(progress=progress)
+        else:
+            metrics = renderer.render(progress=progress)
+    except KeyboardInterrupt:
+        interrupted = True
+        metrics = renderer.metrics or dict(
+            primary_rays=0, render_seconds=0.0, rays_per_second=0.0, spp_per_second=0.0
+        )
+        print(f"\nInterrupted at sweep {renderer.sweeps_done}; saving partial render")
     print()
-    ray_count = metrics["primary_rays"]
-    print(
-        f"Integrated {ray_count} rays in {metrics['render_seconds']:.3f}s "
-        f"({metrics['rays_per_second']:.0f} rays/s, "
-        f"{metrics['spp_per_second']:.2f} spp/s)"
-    )
-    renderer.save_exr(args.output_image)
-    print(f"Wrote {args.output_image}")
+    if not interrupted:
+        ray_count = metrics["primary_rays"]
+        print(
+            f"Integrated {ray_count} rays in {metrics['render_seconds']:.3f}s "
+            f"({metrics['rays_per_second']:.0f} rays/s, "
+            f"{metrics['spp_per_second']:.2f} spp/s)"
+        )
+        if "mean_path_length" in metrics:
+            print(
+                f"Mean path length {metrics['mean_path_length']:.2f} segments/sample"
+            )
+    if renderer.sweeps_done > 0:
+        renderer.save_exr(args.output_image)
+        print(f"Wrote {args.output_image}")
     if args.checkpoint:
         renderer.save_checkpoint(args.checkpoint)
-    return 0
+        print(f"Checkpoint at sweep {renderer.sweeps_done}: {args.checkpoint}")
+    return 130 if interrupted else 0
 
 
 if __name__ == "__main__":

@@ -237,6 +237,7 @@ class Renderer:
         c = self.config
         kwargs = self._sweep_kwargs()
         start = time.monotonic()
+        sweep_marks = []
         total_segments = 0.0
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
@@ -256,6 +257,7 @@ class Renderer:
                 progress(self.sweeps_done, c.spp)
             if c.preview_interval and self.sweeps_done % c.preview_interval == 0:
                 self.save_png(c.preview_path)
+            sweep_marks.append(time.monotonic() - start)
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
         primary_rays = c.width * c.height * (c.spp - 0)
@@ -265,6 +267,8 @@ class Renderer:
             rays_per_second=primary_rays / elapsed if elapsed > 0 else 0.0,
             spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
         )
+        # per-sweep wall-clock marks (dispatch-side; device work may lag)
+        self.metrics["sweep_marks"] = sweep_marks
         if getattr(self, "_last_stats", None) is not None:
             ovf = int(self._last_stats.get("wave_overflow", 0))
             self.metrics["wave_overflow"] = ovf

@@ -109,3 +109,77 @@ def test_render_waves_matches_single_launch(setup):
     np.testing.assert_allclose(np.asarray(tw[0]), np.asarray(t1[0]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tw[2]), np.asarray(t1[2]), rtol=1e-5)
     assert float(tw[5].sum()) > 0  # bounce statistics populated
+
+
+def test_megakernel_mixed_scene_quads_textures():
+    """Quads, checkerboard-textured triangles with real UVs, spheres, and a
+    dielectric — the mixed-scene config — through the megakernel vs the XLA
+    integrator (cbox exercises none of: quads, nonzero triangle UVs)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.camera import camera_rays
+    from hijiki_tpu.ops.integrate import integrate
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.ops.rng import seed_rng
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.model import (
+        Camera,
+        Dielectric,
+        Diffuse,
+        DiffuseCheckerboard,
+        Emissive,
+        Mirror,
+        Quad,
+        Scene,
+        Sphere,
+        Triangle,
+    )
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.7, 0.7, 0.7)))
+    cb = s.add_material(DiffuseCheckerboard((0.9, 0.2, 0.2), 0.25, (0.2, 0.2, 0.9), 0.25))
+    mirror = s.add_material(Mirror())
+    glass = s.add_material(Dielectric.clear(1.5))
+    light = s.add_material(Emissive((10.0, 10.0, 10.0)))
+
+    # floor quad + back quad
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 0, 4)), white)
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 3, 0)), cb)
+    # light quad near ceiling
+    s.add_object(Quad((-0.5, 2.8, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    # checkerboard-textured triangles with explicit UVs
+    s.positions = np.array(
+        [[-1.5, 0.01, 1.5], [1.5, 0.01, 1.5], [0.0, 0.01, -1.5]], np.float32
+    )
+    s.normals = np.array([[0, 1, 0]] * 3, np.float32)
+    s.uvs = np.array([[0, 0], [4, 0], [2, 4]], np.float32)
+    s.add_object(Triangle((0, 1, 2)), cb)
+    # spheres
+    s.add_object(Sphere((-0.8, 0.5, 0.3), 0.5), mirror)
+    s.add_object(Sphere((0.8, 0.5, 0.3), 0.5), glass)
+
+    cs = scene_to_device(compile_scene(s))
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.41).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.27).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2891336453 % (1 << 32)).astype(np.uint32))
+
+    total, normal, depth, state = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=24, interpret=True
+    )
+    pxy = jnp.stack([px, py], -1)
+    o, d, tmin, tmax = camera_rays(
+        cs.cam_position, cs.cam_rotation, cs.cam_fov, pxy, jnp.asarray([W, H], jnp.float32)
+    )
+    out = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=24, traversal="rows")
+    # ULP differences in sphere-hit t can flip the dielectric's Fresnel coin
+    # for grazing rays, diverging that path's stream (statistically neutral);
+    # require equality on >=99.5% of paths and radiance match on those.
+    same = np.asarray(state) == np.asarray(out.state)
+    assert same.mean() >= 0.995, f"too many diverged paths: {1 - same.mean():.3%}"
+    np.testing.assert_allclose(
+        np.asarray(total)[same], np.asarray(out.total)[same], rtol=2e-3, atol=2e-3
+    )
+    assert float(jnp.mean(out.total)) > 0.01  # scene actually lit
