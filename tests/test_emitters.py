@@ -1,0 +1,99 @@
+"""Emitter-type coverage: sphere and quad emitters (cbox's light is triangles)
+through the oracle, the XLA integrator, and the megakernel; plus the gather
+fallback for emitter counts beyond the unroll limit."""
+
+import numpy as np
+import pytest
+
+
+def _scene_with(emitter_kind):
+    from hijiki_tpu.scene.model import (
+        Camera, Diffuse, Emissive, Quad, Scene, Sphere
+    )
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.6, 0.6, 0.6)))
+    light = s.add_material(Emissive((8.0, 8.0, 8.0)))
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 0, 4)), white)  # floor
+    if emitter_kind == "sphere":
+        s.add_object(Sphere((0.0, 2.0, 0.0), 0.4), light)
+    else:
+        s.add_object(Quad((-0.5, 2.5, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    s.add_object(Sphere((0.0, 0.6, 0.5), 0.5), white)
+    return s
+
+
+@pytest.mark.parametrize("kind", ["sphere", "quad"])
+def test_emitter_kinds_all_backends(kind):
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.camera import camera_rays
+    from hijiki_tpu.ops.integrate import integrate
+    from hijiki_tpu.ops.oracle import integrate_ray_oracle
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.ops.rng import seed_rng
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+
+    s = _scene_with(kind)
+    cs_host = compile_scene(s)
+    cs = scene_to_device(cs_host)
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.55).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.44).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 362437 % (1 << 32)).astype(np.uint32))
+
+    pxy = jnp.stack([px, py], -1)
+    o, d, tmin, tmax = camera_rays(
+        cs.cam_position, cs.cam_rotation, cs.cam_fov, pxy, jnp.asarray([W, H], jnp.float32)
+    )
+    out = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=16, traversal="rows")
+    assert float(jnp.mean(out.total)) > 0.002, "emitter contributes light"
+
+    # megakernel agrees (baked emitter branch for this kind)
+    total, _, _, state = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=16, interpret=True
+    )
+    same = np.asarray(state) == np.asarray(out.state)
+    assert same.mean() >= 0.995
+    np.testing.assert_allclose(
+        np.asarray(total)[same], np.asarray(out.total)[same], rtol=2e-3, atol=2e-3
+    )
+
+    # scalar oracle agrees on a few pixels (NEE math for this emitter kind)
+    o_np, d_np = np.asarray(o), np.asarray(d)
+    for i in (264, 520, 777):
+        ref = integrate_ray_oracle(cs_host, o_np[i], d_np[i], int(seeds[i]), max_bounces=16)
+        assert np.uint32(np.asarray(out.state)[i]) == ref["state"]
+        np.testing.assert_allclose(
+            np.asarray(out.total)[i], ref["total"], rtol=2e-3, atol=2e-4
+        )
+
+
+def test_many_emitters_gather_fallback():
+    """>8 emitters: sample_emitter's gather path (vs the static unroll)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.emitter import sample_emitter, _UNROLL_EMITTERS
+    from hijiki_tpu.ops.rng import seed_rng
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.model import Camera, Diffuse, Emissive, Quad, Scene, Sphere
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.5, 0.5, 0.5)))
+    s.add_object(Quad((-3, 0, -3), (6, 0, 0), (0, 0, 6)), white)
+    for i in range(12):  # > _UNROLL_EMITTERS
+        li = s.add_material(Emissive((1.0 + i, 2.0, 3.0)))
+        s.add_object(Sphere((i - 6.0, 3.0, 0.0), 0.2), li)
+    cs = scene_to_device(compile_scene(s))
+    assert cs.num_emitters > _UNROLL_EMITTERS
+
+    n = 64
+    state = seed_rng(jnp.arange(n, dtype=jnp.uint32))
+    ref_p = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    new_state, es = sample_emitter(cs, state, ref_p, jnp.ones(n, bool))
+    imp = np.asarray(es.importance)
+    assert np.isfinite(imp).all()
+    assert (imp >= 0).all() and imp.max() > 0
+    assert not np.array_equal(np.asarray(new_state), np.asarray(state))
