@@ -106,9 +106,10 @@ def main(argv=None) -> int:
     )
 
     if args.devices > 1:
-        from hijiki_tpu.parallel.multichip import MultiChipRenderer
+        from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer
 
-        renderer = MultiChipRenderer(compiled, config, num_devices=args.devices)
+        cls = MegaMultiChipRenderer if args.driver == "mega" else MultiChipRenderer
+        renderer = cls(compiled, config, num_devices=args.devices)
     elif args.checkpoint:
         import os
 

@@ -227,3 +227,158 @@ class MultiChipRenderer(Renderer):
             devices=self.n_dev,
         )
         return self.metrics
+
+
+# ----------------------------------------------------------------------------
+# megakernel multi-chip: row-band lane sharding + psum'd partial films
+# ----------------------------------------------------------------------------
+
+
+def make_sharded_mega_sweep(
+    mesh: Mesh,
+    scene: CompiledScene,
+    *,
+    width: int,
+    height: int,
+    block_size: int,
+    max_bounces: int,
+    stddev: float,
+    interpret: bool = False,
+):
+    """Sharded sweep for the Pallas megakernel driver.
+
+    Pixels shard as contiguous row bands (one per device, band height must be
+    a multiple of 8 and of the block size's divisors so reconstruction blocks
+    don't straddle shards); each device path-traces its band with
+    ``render_waves``, reconstructs into a full-size partial (rgb*w, w) film
+    (the bilateral filter only reads within a block, so partials are exact,
+    see trace_blocks), and partials are psum-reduced over ICI.
+    """
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_waves
+    from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    if height % ndev:
+        raise ValueError("height must divide evenly into device bands")
+    band = height // ndev
+    if (band * width) % 1024:
+        raise ValueError("band pixel count must be a multiple of 1024")
+    if band % block_size:
+        # reconstruction blocks must not straddle bands: the bilateral filter's
+        # center features are read from the owning device's partial image
+        raise ValueError(
+            f"band height {band} must be a multiple of block_size {block_size}"
+        )
+
+    def per_device(scene_, px, py, seeds, sample_offset):
+        t, n, dep, _, ovf, _ = render_waves(
+            scene_,
+            px,
+            py,
+            seeds,
+            width=width,
+            height=height,
+            max_bounces=max_bounces,
+            interpret=interpret,
+        )
+        idx = jax.lax.axis_index(axis)
+        row0 = idx * band
+        f32 = jnp.float32
+        color = jax.lax.dynamic_update_slice(
+            jnp.zeros((height, width, 3), f32), t.reshape(band, width, 3), (row0, 0, 0)
+        )
+        normal = jax.lax.dynamic_update_slice(
+            jnp.zeros((height, width, 3), f32), n.reshape(band, width, 3), (row0, 0, 0)
+        )
+        wmask = jax.lax.dynamic_update_slice(
+            jnp.zeros((height, width), f32), jnp.ones((band, width), f32), (row0, 0)
+        )
+        delta = reconstruct_pallas(
+            color,
+            normal,
+            sample_offset,
+            sample_weight=wmask,
+            block_size=block_size,
+            stddev=stddev,
+            interpret=interpret,
+        )
+        return jax.lax.psum(delta, axis), jax.lax.psum(ovf, axis)
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class MegaMultiChipRenderer(Renderer):
+    """Multi-chip renderer for the megakernel driver (row-band sharding)."""
+
+    def __init__(
+        self,
+        compiled: CompiledScene,
+        config: RenderConfig,
+        num_devices: Optional[int] = None,
+        devices=None,
+        interpret: bool = False,
+    ):
+        super().__init__(compiled, config)
+        if devices is None:
+            devices = jax.devices()[: num_devices or len(jax.devices())]
+        self.mesh = Mesh(np.array(devices), ("d",))
+        self.n_dev = len(devices)
+        c = config
+        self._sweep_fn = make_sharded_mega_sweep(
+            self.mesh,
+            self.scene,
+            width=c.width,
+            height=c.height,
+            block_size=c.block_size,
+            max_bounces=c.max_bounces,
+            stddev=c.reconstruction_stddev,
+            interpret=interpret,
+        )
+
+    def render(self, progress=None):
+        import time
+
+        from hijiki_tpu.render.blocks import per_pixel_seeds
+
+        c = self.config
+        H, W = c.height, c.width
+        yy, xx = np.mgrid[0:H, 0:W]
+        start = time.monotonic()
+        for sweep in range(self.sweeps_done, c.spp):
+            sched = self.scheduler.sweep(sweep)
+            seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
+            off = sched.sample_offset
+            delta, ovf = self._sweep_fn(
+                self.scene,
+                jnp.asarray((xx + off[0]).ravel().astype(np.float32)),
+                jnp.asarray((yy + off[1]).ravel().astype(np.float32)),
+                jnp.asarray(seeds.reshape(-1)),
+                jnp.asarray(off),
+            )
+            self.film = self.film + delta
+            self.sweeps_done = sweep + 1
+            if progress is not None:
+                progress(self.sweeps_done, c.spp)
+        self.film.block_until_ready()
+        elapsed = time.monotonic() - start
+        primary = c.width * c.height * c.spp
+        self.metrics = dict(
+            render_seconds=elapsed,
+            primary_rays=primary,
+            rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
+            devices=self.n_dev,
+            wave_overflow=int(ovf),
+        )
+        return self.metrics

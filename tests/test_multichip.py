@@ -57,3 +57,31 @@ def test_multichip_nondivisible_blocks(cbox_small):
     np.testing.assert_allclose(
         np.asarray(multi.film), np.asarray(single.film), rtol=5e-4, atol=5e-5
     )
+
+
+def test_mega_multichip_matches_single(cbox_small):
+    """Megakernel driver sharded as row bands over the mesh == single device
+    (pallas kernels in interpret mode on the CPU mesh)."""
+    import hijiki_tpu.ops.pallas_megakernel as mk
+    import hijiki_tpu.render.pallas_reconstruct as pr
+    from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer
+
+    cfg = RenderConfig(
+        width=128, height=128, spp=1, block_size=64, seed=5,
+        driver="mega", max_bounces=8,
+    )
+    orig_rw, orig_rp = mk.render_waves, pr.reconstruct_pallas
+    try:
+        mk.render_waves = lambda *a, **k: orig_rw(*a, **{**k, "interpret": True})
+        pr.reconstruct_pallas = lambda *a, **k: orig_rp(*a, **{**k, "interpret": True})
+        single = Renderer(cbox_small, cfg)
+        single.render()
+    finally:
+        mk.render_waves, pr.reconstruct_pallas = orig_rw, orig_rp
+
+    multi = MegaMultiChipRenderer(cbox_small, cfg, num_devices=2, interpret=True)
+    m = multi.render()
+    assert m["wave_overflow"] == 0
+    np.testing.assert_allclose(
+        np.asarray(multi.film), np.asarray(single.film), rtol=1e-4, atol=1e-5
+    )
