@@ -108,7 +108,7 @@ def intersect_unified(o, d, tmin, tmax, a, b, c, kind):
     return hit, t, jnp.where(is_sphere, zero, u), jnp.where(is_sphere, zero, v)
 
 
-def intersect_brute(o, d, tmin, tmax, active=None, *, scene: CompiledScene = None) -> Hit:
+def intersect_brute(o, d, tmin, tmax, active=None, *, scene: CompiledScene) -> Hit:
     """Closest hit by testing every primitive (oracle / tiny scenes).
 
     The analog of the reference's non-BVH fallback loops

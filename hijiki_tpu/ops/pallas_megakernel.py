@@ -957,9 +957,15 @@ def render_waves(
     Returns (total (N,3), normal (N,3), depth (N,), state (N,), overflow (),
     bounces (N,) — per-path segment count, for secondary-ray statistics).
     """
+    N_req = px.shape[0]
+    pad = (-N_req) % TILE
+    if pad:
+        # trace a few dummy rays (duplicates of ray 0) and drop their results:
+        # non-multiple-of-1024 images (e.g. the reference's 800x600 default)
+        px = jnp.concatenate([px, jnp.broadcast_to(px[0], (pad,))])
+        py = jnp.concatenate([py, jnp.broadcast_to(py[0], (pad,))])
+        seeds = jnp.concatenate([seeds, jnp.zeros(pad, seeds.dtype)])
     N = px.shape[0]
-    if N % TILE != 0:
-        raise ValueError("pad ray count to a multiple of 1024")
     rows = scene.trace_rows
     R = rows.shape[0]
 
@@ -1020,7 +1026,7 @@ def render_waves(
     root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
 
     for pi, cap in enumerate(caps[1:]):
-        n_next = max(TILE, n_lanes // shrinks[pi])
+        n_next = max(TILE, -(-(n_lanes // shrinks[pi]) // TILE) * TILE)
         alive = flat[0] > 0
         alive_i = alive.astype(jnp.int32)
         n_alive = jnp.sum(alive_i)
@@ -1067,6 +1073,6 @@ def render_waves(
         res, res_state = commit(res, res_state, flat, rngf, orig)
         n_lanes = n_next
 
-    total = jnp.stack([res[0], res[1], res[2]], axis=-1)
-    normal = jnp.stack([res[3], res[4], res[5]], axis=-1)
-    return total, normal, res[6], res_state, overflow, res[7]
+    total = jnp.stack([res[0], res[1], res[2]], axis=-1)[:N_req]
+    normal = jnp.stack([res[3], res[4], res[5]], axis=-1)[:N_req]
+    return total, normal, res[6][:N_req], res_state[:N_req], overflow, res[7][:N_req]

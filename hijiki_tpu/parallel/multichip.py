@@ -264,8 +264,6 @@ def make_sharded_mega_sweep(
     if height % ndev:
         raise ValueError("height must divide evenly into device bands")
     band = height // ndev
-    if (band * width) % 1024:
-        raise ValueError("band pixel count must be a multiple of 1024")
     if band % block_size:
         # reconstruction blocks must not straddle bands: the bilateral filter's
         # center features are read from the owning device's partial image

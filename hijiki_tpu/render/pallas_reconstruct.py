@@ -39,7 +39,6 @@ f32 = jnp.float32
 
 def _reconstruct_kernel(so_ref, prev_ref, cur_ref, next_ref, out_ref, *, cfg):
     H, W, B, stddev = cfg["height"], cfg["width"], cfg["block"], cfg["stddev"]
-    n_strips = pl.num_programs(0)
     i = pl.program_id(0)
 
     gauss_fac = -1.0 / (2.0 * stddev * stddev)
