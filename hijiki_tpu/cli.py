@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(regenerating lane pool), mega (Pallas megakernel, TPU only)",
     )
     p.add_argument(
+        "--sort-lanes",
+        action="store_true",
+        help="Coherence-sort ray lanes between bounces (wavefront: XLA "
+        "argsort; mega: in-kernel bitonic lane sort)",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory",
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
         preview_interval=args.present_interval,
         preview_path=args.preview_image,
         driver=args.driver,
+        sort_lanes=args.sort_lanes,
     )
 
     if args.devices > 1:

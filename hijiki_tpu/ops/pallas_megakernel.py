@@ -33,6 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hijiki_tpu.ops.pallas_sort import sort_tile_by_key
 from hijiki_tpu.scene.compile import CompiledScene
 
 M_EPS = 1e-4
@@ -295,12 +296,56 @@ def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
 # ----------------------------------------------------------------------------
 
 
+# state channels permuted by the inter-bounce lane sort (u32 state handled
+# separately via bitcast)
+_SORT_CH = [
+    "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
+    "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
+    "depth", "n1", "n2", "n3", "pid",
+]
+
+
+def _lane_sort(s, cfg, by_pid=False):
+    """Permute the tile's lanes: by (dead-last, direction octant, origin cell)
+    between bounces for packet coherence, or by ``pid`` to restore the
+    original lane order before output. Pure permutation of whole paths —
+    estimator untouched (ops/pallas_sort.py)."""
+    if by_pid:
+        key = s["pid"]
+    else:
+        bb = cfg["bbox"]
+        spanx = max(bb[3] - bb[0], 1e-6)
+        spany = max(bb[4] - bb[1], 1e-6)
+        spanz = max(bb[5] - bb[2], 1e-6)
+        qx = jnp.clip(((s["ox"] - f32(bb[0])) * f32(4.0 / spanx)).astype(jnp.int32), 0, 3)
+        qy = jnp.clip(((s["oy"] - f32(bb[1])) * f32(4.0 / spany)).astype(jnp.int32), 0, 3)
+        qz = jnp.clip(((s["oz"] - f32(bb[2])) * f32(4.0 / spanz)).astype(jnp.int32), 0, 3)
+        octant = (
+            (s["dx"] > 0).astype(jnp.int32)
+            + 2 * (s["dy"] > 0).astype(jnp.int32)
+            + 4 * (s["dz"] > 0).astype(jnp.int32)
+        )
+        key = octant + 8 * (qx + 4 * (qy + 4 * qz))
+        key = jnp.where(s["alive"] > 0, key, jnp.int32(1 << 20))
+    chans = [s[c] for c in _SORT_CH] + [s["state"]]
+    key, chans = sort_tile_by_key(key, chans)
+    out = dict(zip(_SORT_CH, chans[:-1]))
+    out["state"] = chans[-1]
+    return out
+
+
 def _bounce_loop(rows_ref, cfg, init):
     """Run the bounce while-loop from an initial state dict; returns final state."""
     num_rows = cfg["num_rows"]
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
+    lane_sort = cfg.get("lane_sort", False)
+
+    init = dict(init)
+    init["pid"] = jax.lax.broadcasted_iota(
+        jnp.int32, (SUBLANES, PACKET), 0
+    ) * PACKET + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, PACKET), 1)
 
     def cond(s):
         # max over lanes: resumed tiles mix stale dead lanes (smaller bounce)
@@ -686,7 +731,7 @@ def _bounce_loop(rows_ref, cfg, init):
         tb = jnp.where(keepq, tb / q, tb)
         alive_n = found & ~kill
 
-        return dict(
+        out = dict(
             alive=alive_n.astype(jnp.int32),
             bounce=s["bounce"] + 1,
             ox=oxn,
@@ -711,9 +756,17 @@ def _bounce_loop(rows_ref, cfg, init):
             n1=n1o,
             n2=n2o,
             n3=n3o,
+            pid=s["pid"],
         )
+        if lane_sort:
+            out = _lane_sort(out, cfg)
+        return out
 
-    return jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    if lane_sort:
+        final = _lane_sort(final, cfg, by_pid=True)
+    final.pop("pid")
+    return final
 
 
 def _camera_init(px, py, seed, cfg):
@@ -796,6 +849,7 @@ def render_tiles(
     width: int,
     height: int,
     max_bounces: int = 1000,
+    lane_sort: bool = False,
     interpret: bool = False,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
@@ -815,6 +869,8 @@ def render_tiles(
         height=height,
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
+        bbox=scene.bbox_static,
+        lane_sort=lane_sort,
     )
 
     shape = (n_tiles, SUBLANES, PACKET)
@@ -922,7 +978,13 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_bounces", "phase_bounces", "phase_shrink", "interpret"
+        "width",
+        "height",
+        "max_bounces",
+        "phase_bounces",
+        "phase_shrink",
+        "lane_sort",
+        "interpret",
     ),
 )
 def render_waves(
@@ -936,6 +998,7 @@ def render_waves(
     max_bounces: int = 1000,
     phase_bounces: tuple = (8, 24, 96),
     phase_shrink: tuple = (2, 4, 4),
+    lane_sort: bool = False,
     interpret: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
@@ -976,6 +1039,8 @@ def render_waves(
         height=height,
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
+        bbox=scene.bbox_static,
+        lane_sort=lane_sort,
     )
 
     caps = list(phase_bounces) + [max_bounces]

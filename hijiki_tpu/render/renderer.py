@@ -122,6 +122,7 @@ def render_sweep(
             width=W,
             height=H,
             max_bounces=max_bounces,
+            lane_sort=sort_lanes,
         )
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)

@@ -142,6 +142,7 @@ class CompiledScene:
     # philosophy (its shaders are recompiled per scene with injected macros,
     # src/main.rs:769-783).
     camera_static: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    bbox_static: tuple = dataclasses.field(metadata=dict(static=True), default=())
     emitter_bake_static: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
@@ -469,6 +470,8 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         emitter_local_static=tuple(em_local),
         emitter_midx_static=tuple(em_midx),
         camera_static=camera_static,
+        bbox_static=tuple(float(x) for x in bvh.aabb_min[0])
+        + tuple(float(x) for x in bvh.aabb_max[0]),
         emitter_bake_static=tuple(em_bake),
         material_bake_static=material_bake,
     )

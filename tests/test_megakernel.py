@@ -183,3 +183,59 @@ def test_megakernel_mixed_scene_quads_textures():
         np.asarray(total)[same], np.asarray(out.total)[same], rtol=2e-3, atol=2e-3
     )
     assert float(jnp.mean(out.total)) > 0.01  # scene actually lit
+
+
+def test_sort_tile_by_key():
+    """The in-kernel bitonic network sorts a tile's 1024 flat lanes and applies
+    one consistent permutation to every payload channel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from hijiki_tpu.ops.pallas_sort import SUBLANES, PACKET, sort_tile_by_key
+
+    rng = np.random.default_rng(7)
+    key = rng.integers(0, 5000, size=(SUBLANES, PACKET)).astype(np.int32)
+    payload = np.arange(SUBLANES * PACKET, dtype=np.int32).reshape(SUBLANES, PACKET)
+    fpayload = rng.standard_normal((SUBLANES, PACKET)).astype(np.float32)
+
+    def kernel(k_ref, p_ref, f_ref, ko_ref, po_ref, fo_ref):
+        k, (p, f) = sort_tile_by_key(k_ref[...], [p_ref[...], f_ref[...]])
+        ko_ref[...] = k
+        po_ref[...] = p
+        fo_ref[...] = f
+
+    ko, po, fo = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((SUBLANES, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, PACKET), jnp.float32),
+        ],
+        interpret=True,
+    )(jnp.asarray(key), jnp.asarray(payload), jnp.asarray(fpayload))
+    ko, po, fo = np.asarray(ko).ravel(), np.asarray(po).ravel(), np.asarray(fo).ravel()
+
+    np.testing.assert_array_equal(ko, np.sort(key.ravel()))
+    # po is the permutation applied: key[po] must equal the sorted key, and the
+    # float channel must ride the same permutation
+    np.testing.assert_array_equal(key.ravel()[po], ko)
+    np.testing.assert_array_equal(fpayload.ravel()[po], fo)
+    assert len(np.unique(po)) == SUBLANES * PACKET  # true permutation
+
+
+def test_render_waves_lane_sort_is_pure_permutation(setup):
+    """lane_sort reorders live paths between bounces but every path's RNG
+    stream and radiance are untouched (restored to pixel order by pid)."""
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles, render_waves
+
+    cs, W, H, px, py, seeds = setup
+    t1 = render_tiles(cs, px, py, seeds, width=W, height=H, max_bounces=4, interpret=True)
+    ts = render_waves(
+        cs, px, py, seeds, width=W, height=H, max_bounces=4,
+        phase_bounces=(2,), lane_sort=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ts[3]), np.asarray(t1[3]))  # RNG states
+    np.testing.assert_allclose(np.asarray(ts[0]), np.asarray(t1[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts[2]), np.asarray(t1[2]), rtol=1e-5)
