@@ -155,17 +155,23 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
             ],
             axis=0,
         )
-        col = lambda j: rows8[:, j : j + 1]
+        # broadcast each used column to (8,128) ONCE — Mosaic re-materializes
+        # an (8,1)->(8,128) broadcast at every use site otherwise (~175ns/iter
+        # measured), so hoisting these is one of the walker's biggest wins
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, PACKET))
+        col_s = lambda j: rows8[:, j : j + 1]  # (8,1) for per-packet cursor ops
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
         v2x, v2y, v2z = col(6), col(7), col(8)
         kind = col(9)
-        nexit = col(10).astype(jnp.int32)
+        kind_s = col_s(9)
+        nexit = col_s(10).astype(jnp.int32)
         mtag = col(12)
         midx = col(13)
 
         active = cur < num_rows
         is_prim = kind >= f32(0.0)
+        is_prim_s = kind_s >= f32(0.0)  # (8,1) twin for cursor arithmetic
         best_t = c["t"]
 
         # interior slab test
@@ -184,10 +190,9 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
         slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
         descend = jnp.any(slab & active & ~is_prim, axis=1, keepdims=True)
 
-        # unified primitive test
-        nx = v1y * v2z - v1z * v2y
-        ny = v1z * v2x - v1x * v2z
-        nz = v1x * v2y - v1y * v2x
+        # unified primitive test; plane normal v1 x v2 is precomputed per row
+        # at scene compile (cols 29-31) — saves 6 ops in the hot loop
+        nx, ny, nz = col(29), col(30), col(31)
         rx = ox - v0x
         ry = oy - v0y
         rz = oz - v0z
@@ -239,7 +244,7 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
                 pay = jnp.where(is_tri, col(14 + j), geo)
                 out[f"pay{j}"] = jnp.where(accept, pay, c[f"pay{j}"])
 
-        nxt = jnp.where(is_prim | ~descend, nexit, cur + 1)
+        nxt = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
         if not want_payload:
             # any-hit: a packet whose lanes all resolved can exit early
             done = jnp.all((c["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)

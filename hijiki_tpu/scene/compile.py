@@ -176,7 +176,7 @@ def build_trace_rows(
       cols 14-28 shading payload (prim rows): triangles carry the vertex data
                  barycentric shading needs (n0,n1,n2 then uv0,uv1,uv2);
                  spheres carry (center, radius); quads carry (edge1, edge2)
-      cols 29-31 reserved
+      cols 29-31 precomputed plane normal v1 x v2 (quad/triangle rows)
 
     Embedding material handle + shading payload in the row lets the traversal
     kernels return everything shading needs with the hit — no per-lane
@@ -224,6 +224,10 @@ def build_trace_rows(
                 rows[r, 12] = float(prim_tag[slot])
                 rows[r, 13] = float(prim_midx[slot])
                 rows[r, 14 : 14 + 15] = prim_payload[slot]
+                # cols 29-31: precomputed plane normal v1 x v2 for the
+                # quad/triangle test (unused by spheres/interiors) so the
+                # traversal kernel skips the per-step cross product
+                rows[r, 29:32] = np.cross(rows[r, 3:6], rows[r, 6:9])
     return rows
 
 
