@@ -127,12 +127,30 @@ def _randf(s):
 # ----------------------------------------------------------------------------
 
 
+def _fetch_rows8(rows_ref, num_rows, cur):
+    """Fetch one trace row per packet (8 dynamic slices) -> (8, W)."""
+    return jnp.concatenate(
+        [
+            rows_ref[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :]
+            for k in range(SUBLANES)
+        ],
+        axis=0,
+    )
+
+
 def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
-    t, hitf (1.0 = hit), u, v, kind, tag, midx [, pay0..pay14].
+    t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
     tmax doubles as the active mask: lanes with tmax < 0 accept nothing and
     never vote a packet into descending.
+
+    The walk itself carries the slimmest possible state (closest hit: t, u, v
+    and the winning row index; any-hit: just the hit flag) — every extra
+    carried channel costs a select per iteration. For closest-hit queries the
+    winner's row payload (kind/material/shading data) is filled in afterwards
+    by ``_resolve_winners``, which loops over the *distinct* winning rows per
+    packet instead of selecting 18 channels on every traversal step.
     """
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
@@ -141,20 +159,12 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
     toy = -oy * inv_dy
     toz = -oz * inv_dz
 
-    n_pay = 15 if want_payload else 0
-
     def cond(c):
         return jnp.any(c["cur"] < num_rows)
 
     def body(c):
         cur = c["cur"]  # (8,1)
-        rows8 = jnp.concatenate(
-            [
-                rows_ref[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :]
-                for k in range(SUBLANES)
-            ],
-            axis=0,
-        )
+        rows8 = _fetch_rows8(rows_ref, num_rows, cur)
         # broadcast each used column to (8,128) ONCE — Mosaic re-materializes
         # an (8,1)->(8,128) broadcast at every use site otherwise (~175ns/iter
         # measured), so hoisting these is one of the walker's biggest wins
@@ -166,13 +176,15 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
         kind = col(9)
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
-        mtag = col(12)
-        midx = col(13)
 
         active = cur < num_rows
         is_prim = kind >= f32(0.0)
         is_prim_s = kind_s >= f32(0.0)  # (8,1) twin for cursor arithmetic
-        best_t = c["t"]
+        if want_payload:
+            best_t = c["t"]
+        else:
+            # any-hit carries no t; resolved lanes stop voting instead
+            best_t = jnp.where(c["hitf"] > 0, tmin, tmax)
 
         # interior slab test
         ax = v0x * inv_dx + tox
@@ -224,47 +236,91 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
         is_sphere = kind == f32(KIND_SPHERE)
         phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
         pt = jnp.where(is_sphere, t_s, t_pq)
-        zero = jnp.zeros_like(pt)
-        pu = jnp.where(is_sphere, zero, u)
-        pv = jnp.where(is_sphere, zero, v)
 
         accept = active & is_prim & phit & (pt < best_t)
         out = dict(c)
-        out["t"] = jnp.where(accept, pt, c["t"])
-        out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
-        out["u"] = jnp.where(accept, pu, c["u"])
-        out["v"] = jnp.where(accept, pv, c["v"])
-        out["kind"] = jnp.where(accept, kind, c["kind"])
-        out["tag"] = jnp.where(accept, mtag, c["tag"])
-        out["midx"] = jnp.where(accept, midx, c["midx"])
         if want_payload:
-            # triangles carry rows[14:29]; spheres/quads carry v0,v1,v2
-            for j in range(n_pay):
-                geo = col(j) if j < 9 else jnp.zeros_like(kind)
-                pay = jnp.where(is_tri, col(14 + j), geo)
-                out[f"pay{j}"] = jnp.where(accept, pay, c[f"pay{j}"])
+            zero = jnp.zeros_like(pt)
+            out["t"] = jnp.where(accept, pt, c["t"])
+            out["u"] = jnp.where(accept, jnp.where(is_sphere, zero, u), c["u"])
+            out["v"] = jnp.where(accept, jnp.where(is_sphere, zero, v), c["v"])
+            cur_b = jnp.broadcast_to(cur, (SUBLANES, PACKET))
+            out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
+        else:
+            out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
 
         nxt = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
         if not want_payload:
             # any-hit: a packet whose lanes all resolved can exit early
-            done = jnp.all((c["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
+            done = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
             nxt = jnp.where(done, num_rows, nxt)
         out["cur"] = jnp.where(active, nxt, cur)
         return out
 
-    init = dict(
-        cur=jnp.zeros((SUBLANES, 1), jnp.int32),
-        t=tmax,
-        hitf=jnp.zeros((SUBLANES, PACKET), f32),
-        u=jnp.zeros((SUBLANES, PACKET), f32),
-        v=jnp.zeros((SUBLANES, PACKET), f32),
+    init = dict(cur=jnp.zeros((SUBLANES, 1), jnp.int32))
+    if want_payload:
+        init["t"] = tmax
+        init["u"] = jnp.zeros((SUBLANES, PACKET), f32)
+        init["v"] = jnp.zeros((SUBLANES, PACKET), f32)
+        init["wrow"] = jnp.full((SUBLANES, PACKET), num_rows, jnp.int32)
+    else:
+        init["hitf"] = jnp.zeros((SUBLANES, PACKET), f32)
+    final = jax.lax.while_loop(cond, body, init)
+    if not want_payload:
+        return final
+    return _resolve_winners(rows_ref, num_rows, final)
+
+
+def _resolve_winners(rows_ref, num_rows, walk):
+    """Fill kind/tag/midx/payload for each lane's winning row.
+
+    Loops over the DISTINCT winning rows per packet (min-first), fetching each
+    once and selecting it into the lanes it won — O(unique winners) iterations
+    instead of paying 18 selects on every traversal step.
+    """
+    wrow = walk["wrow"]
+    outs = dict(
+        t=walk["t"],
+        u=walk["u"],
+        v=walk["v"],
+        hitf=jnp.where(wrow < num_rows, f32(1.0), f32(0.0)),
         kind=jnp.zeros((SUBLANES, PACKET), f32),
         tag=jnp.zeros((SUBLANES, PACKET), f32),
         midx=jnp.zeros((SUBLANES, PACKET), f32),
     )
-    for j in range(n_pay):
-        init[f"pay{j}"] = jnp.zeros((SUBLANES, PACKET), f32)
-    return jax.lax.while_loop(cond, body, init)
+    for j in range(15):
+        outs[f"pay{j}"] = jnp.zeros((SUBLANES, PACKET), f32)
+    outs["pending"] = jnp.where(wrow < num_rows, wrow, jnp.int32(num_rows))
+
+    def cond(c):
+        return jnp.any(c["pending"] < num_rows)
+
+    def body(c):
+        tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
+        rows8 = _fetch_rows8(rows_ref, num_rows, tgt)
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, PACKET))
+        tgt_b = jnp.broadcast_to(tgt, (SUBLANES, PACKET))
+        # the < num_rows guard keeps miss lanes (wrow == num_rows) from
+        # matching a fully-resolved packet's sentinel target
+        sel = (wrow == tgt_b) & (tgt_b < num_rows)
+        out = dict(c)
+        kind = col(9)
+        is_tri = kind == f32(KIND_TRIANGLE)
+        out["kind"] = jnp.where(sel, kind, c["kind"])
+        out["tag"] = jnp.where(sel, col(12), c["tag"])
+        out["midx"] = jnp.where(sel, col(13), c["midx"])
+        for j in range(15):
+            # triangles carry rows[14:29]; spheres/quads carry v0,v1,v2
+            geo = col(j) if j < 9 else jnp.zeros_like(kind)
+            pay = jnp.where(is_tri, col(14 + j), geo)
+            out[f"pay{j}"] = jnp.where(sel, pay, c[f"pay{j}"])
+        out["pending"] = jnp.where(sel, jnp.int32(num_rows), c["pending"])
+        return out
+
+    final = dict(outs)
+    resolved = jax.lax.while_loop(cond, body, final)
+    resolved.pop("pending")
+    return resolved
 
 
 # ----------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from hijiki_tpu.accel.bvh import build_bvh
+from hijiki_tpu.accel.bvh import build_bvh, collapse_bvh
 from hijiki_tpu.scene.model import (
     Camera,
     Dielectric,
@@ -231,7 +231,9 @@ def build_trace_rows(
     return rows
 
 
-def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
+def compile_scene(
+    scene: Scene, leaf_size: int = 1, collapse: int = 1
+) -> CompiledScene:
     spheres: list[tuple[Sphere, int]] = []
     quads: list[tuple[Quad, int]] = []
     tris: list[tuple[Triangle, int]] = []
@@ -358,6 +360,11 @@ def compile_scene(scene: Scene, leaf_size: int = 1) -> CompiledScene:
         payload[S + Q :, 13:15] = uvs[tri_idx[:, 2]]
 
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
+    if collapse:
+        # widen to 2^(collapse+1)-ary: interior rows dominate packet-walk
+        # visits (~83% on cbox) and packets descend most of them, so the
+        # skipped levels' culling doesn't pay for its row visits
+        bvh = collapse_bvh(bvh, rounds=collapse)
     order = bvh.prim_order  # reordered slot -> global shape index
     mats_by_order = shape_mats[order]
     trace_rows = build_trace_rows(
