@@ -138,7 +138,80 @@ def _fetch_rows8(rows_ref, num_rows, cur):
     )
 
 
-def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
+def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
+                      want_payload):
+    """Test the baked analytic prims (spheres/quads) as compile-time
+    immediates, before the triangle-table walk. Returns the walk's init state
+    with best_t pre-tightened (analytic hits cull the tree walk).
+
+    Semantics mirror the in-table rows exactly (same accept predicates), so
+    the estimator is unchanged; winners are encoded as wrow = num_rows + k,
+    miss = num_rows + len(analytic)."""
+    zero = jnp.zeros((SUBLANES, PACKET), f32)
+    if want_payload:
+        best_t, u_o, v_o = tmax, zero, zero
+        wrow = jnp.full((SUBLANES, PACKET), num_rows + len(analytic), jnp.int32)
+    else:
+        hitf = zero
+    for k, entry in enumerate(analytic):
+        akind = entry[0]
+        g = entry[3:12]
+        if not want_payload:
+            best_t = jnp.where(hitf > 0, tmin, tmax)
+        if akind == KIND_SPHERE:
+            cxk, cyk, czk, rad = g[0], g[1], g[2], g[3]
+            rx = ox - f32(cxk)
+            ry = oy - f32(cyk)
+            rz = oz - f32(czk)
+            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+            sc = rx * rx + ry * ry + rz * rz - f32(rad * rad)
+            disc = sb * sb - f32(4.0) * sc
+            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+            st0 = f32(-0.5) * (sb + sq)
+            st1 = f32(-0.5) * (sb - sq)
+            ok0 = (tmin <= st0) & (st0 <= best_t)
+            ok1 = (tmin <= st1) & (st1 <= best_t)
+            pt = jnp.where(ok0, st0, st1)
+            phit = (disc >= f32(0.0)) & (ok0 | ok1)
+            pu = pv = None
+        else:  # quad: v0 origin, v1/v2 edges; precompute the plane normal
+            v0 = g[0:3]
+            v1 = g[3:6]
+            v2 = g[6:9]
+            nrm = (
+                v1[1] * v2[2] - v1[2] * v2[1],
+                v1[2] * v2[0] - v1[0] * v2[2],
+                v1[0] * v2[1] - v1[1] * v2[0],
+            )
+            rx = ox - f32(v0[0])
+            ry = oy - f32(v0[1])
+            rz = oz - f32(v0[2])
+            qx = ry * dz - rz * dy
+            qy = rz * dx - rx * dz
+            qz = rx * dy - ry * dx
+            dd = f32(1.0) / (dx * f32(nrm[0]) + dy * f32(nrm[1]) + dz * f32(nrm[2]))
+            pu = -dd * (qx * f32(v2[0]) + qy * f32(v2[1]) + qz * f32(v2[2]))
+            pv = dd * (qx * f32(v1[0]) + qy * f32(v1[1]) + qz * f32(v1[2]))
+            pt = -dd * (f32(nrm[0]) * rx + f32(nrm[1]) * ry + f32(nrm[2]) * rz)
+            phit = (pu >= 0) & (pu <= f32(1.0)) & (pv >= 0) & (pv <= f32(1.0))
+            phit &= (tmin <= pt) & (pt <= best_t)
+        accept = phit & (pt < best_t)
+        if want_payload:
+            best_t = jnp.where(accept, pt, best_t)
+            # sphere accepts reset uv to 0, matching the walker's
+            # where(is_sphere, 0, u) select
+            u_o = jnp.where(accept, zero if pu is None else pu, u_o)
+            v_o = jnp.where(accept, zero if pv is None else pv, v_o)
+            wrow = jnp.where(accept, jnp.int32(num_rows + k), wrow)
+        else:
+            hitf = jnp.where(accept, f32(1.0), hitf)
+    if want_payload:
+        return dict(t=best_t, u=u_o, v=v_o, wrow=wrow)
+    return dict(hitf=hitf)
+
+
+def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
+              want_payload):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -217,33 +290,44 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
         t_pq = -dd * (nx * rx + ny * ry + nz * rz)
         is_tri = kind == f32(KIND_TRIANGLE)
         in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-        in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
-        ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
-        ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
+        if analytic:
+            # triangle-only table: spheres/quads were pre-tested as baked
+            # immediates, so the whole sphere branch and the quad/tri kind
+            # selects drop out of the hot loop
+            ok_pq = in_tri & (tmin <= t_pq) & (t_pq <= best_t)
+            phit = ok_pq
+            pt = t_pq
+            pu, pv = u, v
+        else:
+            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+            ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
 
-        radius = v1x
-        sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
-        sc = rx * rx + ry * ry + rz * rz - radius * radius
-        disc = sb * sb - f32(4.0) * sc
-        sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-        st0 = f32(-0.5) * (sb + sq)
-        st1 = f32(-0.5) * (sb - sq)
-        ok0 = (tmin <= st0) & (st0 <= best_t)
-        ok1 = (tmin <= st1) & (st1 <= best_t)
-        t_s = jnp.where(ok0, st0, st1)
-        ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+            radius = v1x
+            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+            sc = rx * rx + ry * ry + rz * rz - radius * radius
+            disc = sb * sb - f32(4.0) * sc
+            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+            st0 = f32(-0.5) * (sb + sq)
+            st1 = f32(-0.5) * (sb - sq)
+            ok0 = (tmin <= st0) & (st0 <= best_t)
+            ok1 = (tmin <= st1) & (st1 <= best_t)
+            t_s = jnp.where(ok0, st0, st1)
+            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
 
-        is_sphere = kind == f32(KIND_SPHERE)
-        phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
-        pt = jnp.where(is_sphere, t_s, t_pq)
+            is_sphere = kind == f32(KIND_SPHERE)
+            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+            pt = jnp.where(is_sphere, t_s, t_pq)
+            zero = jnp.zeros_like(pt)
+            pu = jnp.where(is_sphere, zero, u)
+            pv = jnp.where(is_sphere, zero, v)
 
         accept = active & is_prim & phit & (pt < best_t)
         out = dict(c)
         if want_payload:
-            zero = jnp.zeros_like(pt)
             out["t"] = jnp.where(accept, pt, c["t"])
-            out["u"] = jnp.where(accept, jnp.where(is_sphere, zero, u), c["u"])
-            out["v"] = jnp.where(accept, jnp.where(is_sphere, zero, v), c["v"])
+            out["u"] = jnp.where(accept, pu, c["u"])
+            out["v"] = jnp.where(accept, pv, c["v"])
             cur_b = jnp.broadcast_to(cur, (SUBLANES, PACKET))
             out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
         else:
@@ -258,7 +342,12 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
         return out
 
     init = dict(cur=jnp.zeros((SUBLANES, 1), jnp.int32))
-    if want_payload:
+    if analytic:
+        pre = _analytic_pretest(
+            analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
+        )
+        init.update(pre)
+    elif want_payload:
         init["t"] = tmax
         init["u"] = jnp.zeros((SUBLANES, PACKET), f32)
         init["v"] = jnp.zeros((SUBLANES, PACKET), f32)
@@ -268,22 +357,24 @@ def _traverse(rows_ref, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_paylo
     final = jax.lax.while_loop(cond, body, init)
     if not want_payload:
         return final
-    return _resolve_winners(rows_ref, num_rows, final)
+    return _resolve_winners(rows_ref, num_rows, analytic, final)
 
 
-def _resolve_winners(rows_ref, num_rows, walk):
+def _resolve_winners(rows_ref, num_rows, analytic, walk):
     """Fill kind/tag/midx/payload for each lane's winning row.
 
     Loops over the DISTINCT winning rows per packet (min-first), fetching each
     once and selecting it into the lanes it won — O(unique winners) iterations
-    instead of paying 18 selects on every traversal step.
+    instead of paying 18 selects on every traversal step. Baked-analytic
+    winners (wrow == num_rows + k) are filled from compile-time constants.
     """
     wrow = walk["wrow"]
+    miss = num_rows + len(analytic)
     outs = dict(
         t=walk["t"],
         u=walk["u"],
         v=walk["v"],
-        hitf=jnp.where(wrow < num_rows, f32(1.0), f32(0.0)),
+        hitf=jnp.where(wrow < miss, f32(1.0), f32(0.0)),
         kind=jnp.zeros((SUBLANES, PACKET), f32),
         tag=jnp.zeros((SUBLANES, PACKET), f32),
         midx=jnp.zeros((SUBLANES, PACKET), f32),
@@ -320,6 +411,17 @@ def _resolve_winners(rows_ref, num_rows, walk):
     final = dict(outs)
     resolved = jax.lax.while_loop(cond, body, final)
     resolved.pop("pending")
+    # analytic winners: constants, no fetch needed (payload convention
+    # matches the in-table rows: pay0..8 = a,b,c geometry, rest zero)
+    for k, entry in enumerate(analytic):
+        sel = wrow == jnp.int32(num_rows + k)
+        resolved["kind"] = jnp.where(sel, f32(entry[0]), resolved["kind"])
+        resolved["tag"] = jnp.where(sel, f32(entry[1]), resolved["tag"])
+        resolved["midx"] = jnp.where(sel, f32(entry[2]), resolved["midx"])
+        for j in range(9):
+            resolved[f"pay{j}"] = jnp.where(
+                sel, f32(entry[3 + j]), resolved[f"pay{j}"]
+            )
     return resolved
 
 
@@ -419,6 +521,7 @@ def _bounce_loop(rows_ref, cfg, init):
         h = _traverse(
             rows_ref,
             num_rows,
+            cfg["analytic"],
             s["ox"],
             s["oy"],
             s["oz"],
@@ -654,6 +757,7 @@ def _bounce_loop(rows_ref, cfg, init):
         sh = _traverse(
             rows_ref,
             num_rows,
+            cfg["analytic"],
             hx,
             hy,
             hz,
@@ -919,7 +1023,7 @@ def render_tiles(
     if N % TILE != 0:
         raise ValueError("pad ray count to a multiple of 1024")
     n_tiles = N // TILE
-    rows = scene.trace_rows
+    rows = scene.trace_rows_mega
     R = rows.shape[0]
 
     cfg = dict(
@@ -931,6 +1035,7 @@ def render_tiles(
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
         bbox=scene.bbox_static,
+        analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
     )
 
@@ -1090,7 +1195,7 @@ def render_waves(
         py = jnp.concatenate([py, jnp.broadcast_to(py[0], (pad,))])
         seeds = jnp.concatenate([seeds, jnp.zeros(pad, seeds.dtype)])
     N = px.shape[0]
-    rows = scene.trace_rows
+    rows = scene.trace_rows_mega
     R = rows.shape[0]
 
     base_cfg = dict(
@@ -1101,6 +1206,7 @@ def render_waves(
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
         bbox=scene.bbox_static,
+        analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
     )
 

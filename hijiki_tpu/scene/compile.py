@@ -110,7 +110,11 @@ class CompiledScene:
 
     # Merged threaded trace table: the whole BVH as one uniform row stream so
     # a traversal step is a single gather (see build_trace_rows below).
-    trace_rows: Any  # (R,16) f32
+    trace_rows: Any  # (R,32) f32
+    # Megakernel twin of trace_rows: triangle-only when the scene's analytic
+    # prims (spheres/quads) are few enough to bake into the kernel; otherwise
+    # the same array as trace_rows.
+    trace_rows_mega: Any = None
 
     # Static metadata (hashable -> static under jit)
     num_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -143,6 +147,11 @@ class CompiledScene:
     # src/main.rs:769-783).
     camera_static: tuple = dataclasses.field(metadata=dict(static=True), default=())
     bbox_static: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # Baked analytic prims for the megakernel: per prim
+    # (kind, mat_tag, mat_idx, a.xyz, b.xyz, c.xyz) as python floats
+    analytic_bake_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
     emitter_bake_static: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
@@ -378,6 +387,54 @@ def compile_scene(
         payload[order],
     )
 
+    # --- megakernel specialization: with few analytic prims (spheres/quads),
+    # bake them as compile-time immediates tested once before the walk, and
+    # give the walker a triangle-only table — the in-loop sphere branch
+    # (~14 ops/row-visit) disappears and analytic hits pre-tighten best_t,
+    # culling the tree walk. The full trace_rows stays for the XLA drivers.
+    NA = S + Q
+    midx_mask = (1 << MATERIAL_TAG_SHIFT) - 1
+    if 0 < NA <= 8:
+        analytic = []
+        for sh in range(NA):
+            analytic.append(
+                (
+                    float(kind[sh]),
+                    float(int(shape_mats[sh]) >> MATERIAL_TAG_SHIFT),
+                    float(int(shape_mats[sh]) & midx_mask),
+                )
+                + tuple(float(x) for x in a[sh])
+                + tuple(float(x) for x in b[sh])
+                + tuple(float(x) for x in c[sh])
+            )
+        analytic_bake = tuple(analytic)
+        if T:
+            tri_bvh = build_bvh(
+                aabb_min[NA:], aabb_max[NA:], leaf_size=leaf_size
+            )
+            if collapse:
+                tri_bvh = collapse_bvh(tri_bvh, rounds=collapse)
+            tri_order = tri_bvh.prim_order + NA  # back to global shape ids
+            tri_mats = shape_mats[tri_order]
+            trace_rows_mega = build_trace_rows(
+                tri_bvh,
+                a[tri_order],
+                b[tri_order],
+                c[tri_order],
+                kind[tri_order],
+                tri_mats >> MATERIAL_TAG_SHIFT,
+                tri_mats & midx_mask,
+                payload[tri_order],
+            )
+        else:
+            # all-analytic scene: one inert interior row (never hit, exits)
+            trace_rows_mega = np.zeros((1, TRACE_ROW_WIDTH), dtype=np.float32)
+            trace_rows_mega[0, 9] = -1.0
+            trace_rows_mega[0, 10] = 1.0
+    else:
+        analytic_bake = ()
+        trace_rows_mega = trace_rows
+
     # static per-emitter metadata for gather-free unrolled emitter sampling
     em_kind, em_local, em_midx = [], [], []
     em_bake = []
@@ -471,6 +528,8 @@ def compile_scene(
         prim_shape_id=order.astype(np.int32),
         prim_tri=ptri[order],
         trace_rows=trace_rows,
+        trace_rows_mega=trace_rows_mega,
+        analytic_bake_static=analytic_bake,
         num_spheres=S,
         num_quads=Q,
         num_triangles=T,

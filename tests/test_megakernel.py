@@ -239,3 +239,44 @@ def test_render_waves_lane_sort_is_pure_permutation(setup):
     np.testing.assert_array_equal(np.asarray(ts[3]), np.asarray(t1[3]))  # RNG states
     np.testing.assert_allclose(np.asarray(ts[0]), np.asarray(t1[0]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ts[2]), np.asarray(t1[2]), rtol=1e-5)
+
+
+def test_megakernel_many_analytics_fallback():
+    """>8 spheres/quads: analytic baking disabled, unified table path used —
+    megakernel must still match the XLA integrator."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.camera import camera_rays
+    from hijiki_tpu.ops.integrate import integrate
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.ops.rng import seed_rng
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.model import Camera, Diffuse, Emissive, Quad, Scene, Sphere
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.7, 0.7, 0.7)))
+    light = s.add_material(Emissive((8.0, 8.0, 8.0)))
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 0, 4)), white)
+    s.add_object(Quad((-0.5, 2.8, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    for i in range(9):
+        s.add_object(Sphere((-1.6 + 0.4 * i, 0.3, 0.4), 0.18), white)
+    cs = compile_scene(s)
+    assert cs.analytic_bake_static == ()  # fallback engaged
+    cs = scene_to_device(cs)
+
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.5).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.5).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 747796405 % (1 << 32)).astype(np.uint32))
+    total, normal, depth, state = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=12, interpret=True
+    )
+    pxy = jnp.stack([px, py], -1)
+    o, d, tmin, tmax = camera_rays(
+        cs.cam_position, cs.cam_rotation, cs.cam_fov, pxy, jnp.asarray([W, H], jnp.float32)
+    )
+    out = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=12, traversal="rows")
+    np.testing.assert_array_equal(np.asarray(state), np.asarray(out.state))
+    np.testing.assert_allclose(np.asarray(total), np.asarray(out.total), rtol=2e-3, atol=2e-3)
