@@ -1162,7 +1162,7 @@ def render_waves(
     width: int,
     height: int,
     max_bounces: int = 1000,
-    phase_bounces: tuple = (8, 24, 96),
+    phase_bounces: tuple = (5, 12, 48),
     phase_shrink: tuple = (2, 4, 4),
     lane_sort: bool = False,
     interpret: bool = False,
