@@ -173,6 +173,11 @@ def main(argv=None) -> int:
             print(
                 f"Mean path length {metrics['mean_path_length']:.2f} segments/sample"
             )
+        if "mrows_per_second" in metrics:
+            print(
+                f"Traversal: {metrics['rows_visited_last_sweep']:.0f} "
+                f"trace rows/sweep, {metrics['mrows_per_second']:.2f} Mrows/s"
+            )
     if renderer.sweeps_done > 0:
         renderer.save_exr(args.output_image)
         print(f"Wrote {args.output_image}")

@@ -339,9 +339,13 @@ def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
             done = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
             nxt = jnp.where(done, num_rows, nxt)
         out["cur"] = jnp.where(active, nxt, cur)
+        out["nit"] = c["nit"] + f32(1.0)  # row-visit counter (~2 ops/iter)
         return out
 
-    init = dict(cur=jnp.zeros((SUBLANES, 1), jnp.int32))
+    init = dict(
+        cur=jnp.zeros((SUBLANES, 1), jnp.int32),
+        nit=jnp.zeros((SUBLANES, PACKET), f32),
+    )
     if analytic:
         pre = _analytic_pretest(
             analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
@@ -382,6 +386,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk):
     for j in range(15):
         outs[f"pay{j}"] = jnp.zeros((SUBLANES, PACKET), f32)
     outs["pending"] = jnp.where(wrow < num_rows, wrow, jnp.int32(num_rows))
+    outs["nit"] = walk["nit"]
 
     def cond(c):
         return jnp.any(c["pending"] < num_rows)
@@ -406,6 +411,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk):
             pay = jnp.where(is_tri, col(14 + j), geo)
             out[f"pay{j}"] = jnp.where(sel, pay, c[f"pay{j}"])
         out["pending"] = jnp.where(sel, jnp.int32(num_rows), c["pending"])
+        out["nit"] = c["nit"] + f32(1.0)
         return out
 
     final = dict(outs)
@@ -464,7 +470,7 @@ def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
 _SORT_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3", "pid",
+    "depth", "n1", "n2", "n3", "rows", "pid",
 ]
 
 
@@ -921,6 +927,7 @@ def _bounce_loop(rows_ref, cfg, init):
             n1=n1o,
             n2=n2o,
             n3=n3o,
+            rows=s["rows"] + h["nit"] + sh["nit"],
             pid=s["pid"],
         )
         if lane_sort:
@@ -987,6 +994,7 @@ def _camera_init(px, py, seed, cfg):
         n1=jnp.zeros((SUBLANES, PACKET), f32),
         n2=jnp.zeros((SUBLANES, PACKET), f32),
         n3=jnp.zeros((SUBLANES, PACKET), f32),
+        rows=jnp.zeros((SUBLANES, PACKET), f32),
     )
 
     return init
@@ -1074,7 +1082,7 @@ def render_tiles(
 _STATE_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3",
+    "depth", "n1", "n2", "n3", "rows",
 ]
 N_STATE = len(_STATE_CH)
 
@@ -1184,7 +1192,9 @@ def render_waves(
     returned `overflow` so callers can detect bias.
 
     Returns (total (N,3), normal (N,3), depth (N,), state (N,), overflow (),
-    bounces (N,) — per-path segment count, for secondary-ray statistics).
+    bounces (N,) — per-path segment count — and rows (N,) — trace-table rows
+    visited by the lane's tile (closest + shadow + resolve loops), the
+    traversal-work metric (docs/PERF_NOTES.md §9).
     """
     N_req = px.shape[0]
     pad = (-N_req) % TILE
@@ -1239,16 +1249,16 @@ def render_waves(
 
     def commit(res, res_state, flat, rngf, orig):
         vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1]]
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23]]
         )
         res = res.at[:, orig].set(vals)
         res_state = res_state.at[orig].set(rngf)
         return res, res_state
 
     # phase 0 covers every lane in order: plain copy, no scatter
-    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces)
+    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces,rows-visited)
     res = jnp.stack(
-        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1]]
+        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23]]
     )
     res_state = rngf
 
@@ -1307,4 +1317,5 @@ def render_waves(
 
     total = jnp.stack([res[0], res[1], res[2]], axis=-1)[:N_req]
     normal = jnp.stack([res[3], res[4], res[5]], axis=-1)[:N_req]
-    return total, normal, res[6][:N_req], res_state[:N_req], overflow, res[7][:N_req]
+    return (total, normal, res[6][:N_req], res_state[:N_req], overflow,
+            res[7][:N_req], res[8][:N_req])

@@ -114,7 +114,7 @@ def render_sweep(
         # path trace runs on-chip; XLA only does inter-phase compaction.
         from hijiki_tpu.ops.pallas_megakernel import render_waves
 
-        t_, n_, dep_, _, overflow_, bounces_ = render_waves(
+        t_, n_, dep_, _, overflow_, bounces_, rows_ = render_waves(
             scene,
             px[..., 0].reshape(-1),
             px[..., 1].reshape(-1),
@@ -129,6 +129,8 @@ def render_sweep(
         depth = dep_.reshape(H, W)
         albedo = jnp.zeros((H, W, 3), f32)
         path_segments = jnp.sum(bounces_)
+        # per-lane counters are tile-uniform: sum/1024 = total row visits
+        rows_visited = jnp.sum(rows_) / 1024.0
         wave_overflow = overflow_
     elif driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
@@ -191,6 +193,7 @@ def render_sweep(
         )
     if driver != "mega":
         path_segments = jnp.float32(0.0)
+        rows_visited = jnp.float32(0.0)
         wave_overflow = jnp.int32(0)
     stats = dict(
         # paths dropped by phase-capacity overflow (0 = unbiased); see
@@ -201,6 +204,9 @@ def render_sweep(
         # total path segments (closest-hit casts); diffuse bounces add one
         # shadow cast each, so true ray casts are between 1x and 2x this
         path_segments=path_segments,
+        # trace-table rows visited by the packet walkers (closest + shadow +
+        # resolve): the traversal-work unit (docs/PERF_NOTES.md §9)
+        rows_visited=rows_visited,
     )
     return film_delta, stats
 
@@ -287,6 +293,14 @@ class Renderer:
                 # printed rays/s counts primary rays only (src/main.rs:1490)
                 self.metrics["path_segments_last_sweep"] = segs
                 self.metrics["mean_path_length"] = segs / (c.width * c.height)
+            rows = float(self._last_stats.get("rows_visited", 0.0))
+            if rows > 0:
+                # traversal work: trace-table rows visited per sweep and the
+                # effective walker throughput
+                self.metrics["rows_visited_last_sweep"] = rows
+                self.metrics["mrows_per_second"] = (
+                    rows * c.spp / elapsed / 1e6 if elapsed > 0 else 0.0
+                )
         return self.metrics
 
     def image(self) -> np.ndarray:
