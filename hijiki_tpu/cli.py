@@ -17,7 +17,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="hijiki-tpu", description="TPU-native wavefront path tracer"
     )
-    p.add_argument("scene", help="The scene (OBJ file) to render")
+    p.add_argument(
+        "scene",
+        help="The scene to render: an OBJ file, or builtin:<name> "
+        "(cornell, cornell-spheres, cornell-glass)",
+    )
     p.add_argument(
         "--put-cbox-spheres",
         action="store_true",
@@ -86,7 +90,12 @@ def main(argv=None) -> int:
     from hijiki_tpu.scene.obj import load_obj_scene
 
     t0 = time.monotonic()
-    scene = load_obj_scene(args.scene)
+    if args.scene.startswith("builtin:"):
+        from hijiki_tpu.scene.presets import load_preset
+
+        scene = load_preset(args.scene[len("builtin:"):])
+    else:
+        scene = load_obj_scene(args.scene)
     if args.put_cbox_spheres:
         scene.put_cbox_spheres()
     if args.put_dielectric_sphere:
