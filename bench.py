@@ -23,6 +23,9 @@ def log(*a):
 
 
 def main():
+    from hijiki_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from hijiki_tpu.render.renderer import RenderConfig, Renderer

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from hijiki_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from hijiki_tpu.render.renderer import RenderConfig, Renderer
     from hijiki_tpu.scene.compile import compile_scene
     from hijiki_tpu.scene.obj import load_obj_scene
