@@ -195,6 +195,82 @@ def brute_force_reference_order(bvh: FlatBVH) -> np.ndarray:
     return bvh.prim_order.copy()
 
 
+def order_children_by_area(b: FlatBVH) -> FlatBVH:
+    """Re-emit the threaded preorder with each interior node's children
+    sorted by descending surface area.
+
+    The packet walker visits children in preorder; putting the child a ray is
+    most likely to hit first tightens best_t sooner, which prunes the
+    siblings' subtrees. Pure traversal-order change: closest hit is still the
+    min-t winner, so the estimator is untouched. Measured: -16% node visits
+    in an idealized simulation but ~0% in real renders on cbox (the baked
+    analytic prims already pre-tighten best_t); kept because it is free at
+    render time and can only help on scenes without that pre-tightening.
+    """
+    n = b.num_nodes
+    if n <= 1:
+        return b
+    exit_ = b.exit
+    count = b.count
+
+    def children(i):
+        ks = []
+        c = i + 1
+        while c < exit_[i]:
+            ks.append(c)
+            c = int(exit_[c])
+        return ks
+
+    size = np.ones(n, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        if count[i] == 0:
+            size[i] = 1 + sum(size[k] for k in children(i))
+
+    def area(i):
+        d = b.aabb_max[i] - b.aabb_min[i]
+        return float(2 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2]))
+
+    f_min = np.empty((n, 3), dtype=np.float32)
+    f_max = np.empty((n, 3), dtype=np.float32)
+    f_first = np.empty(n, dtype=np.int32)
+    f_count = np.empty(n, dtype=np.int32)
+    f_exit = np.empty(n, dtype=np.int32)
+
+    out = 0
+    stack = [(0, n)]
+    while stack:
+        ti, exit_idx = stack.pop()
+        f_min[out], f_max[out] = b.aabb_min[ti], b.aabb_max[ti]
+        f_exit[out] = exit_idx
+        if count[ti] > 0:
+            f_first[out] = b.first[ti]
+            f_count[out] = count[ti]
+        else:
+            f_first[out] = out + 1
+            f_count[out] = 0
+            ks = sorted(children(ti), key=area, reverse=True)
+            pos = out + 1
+            entries = []
+            for k in ks:
+                entries.append((k, pos))
+                pos += int(size[k])
+            for idx in reversed(range(len(entries))):
+                k, p = entries[idx]
+                nxt = entries[idx + 1][1] if idx + 1 < len(entries) else exit_idx
+                stack.append((k, nxt))
+        out += 1
+    assert out == n
+
+    return FlatBVH(
+        aabb_min=f_min,
+        aabb_max=f_max,
+        first=f_first,
+        count=f_count,
+        exit=f_exit,
+        prim_order=b.prim_order.copy(),
+    )
+
+
 def collapse_bvh(bvh: FlatBVH, rounds: int = 1) -> FlatBVH:
     """Widen the tree by level-skipping: each kept interior node adopts its
     grandchildren (leaf children stay direct). Each round squares the arity:

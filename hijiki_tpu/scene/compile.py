@@ -26,7 +26,7 @@ from typing import Any
 import jax
 import numpy as np
 
-from hijiki_tpu.accel.bvh import build_bvh, collapse_bvh
+from hijiki_tpu.accel.bvh import build_bvh, collapse_bvh, order_children_by_area
 from hijiki_tpu.scene.model import (
     Camera,
     Dielectric,
@@ -370,10 +370,11 @@ def compile_scene(
 
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     if collapse:
-        # widen to 2^(collapse+1)-ary: interior rows dominate packet-walk
-        # visits (~83% on cbox) and packets descend most of them, so the
-        # skipped levels' culling doesn't pay for its row visits
+        # widen to 4-ary: interior rows dominate packet-walk visits (~83% on
+        # cbox) and packets descend most of them, so the skipped levels'
+        # culling doesn't pay for its row visits
         bvh = collapse_bvh(bvh, rounds=collapse)
+    bvh = order_children_by_area(bvh)
     order = bvh.prim_order  # reordered slot -> global shape index
     mats_by_order = shape_mats[order]
     trace_rows = build_trace_rows(
@@ -414,6 +415,7 @@ def compile_scene(
             )
             if collapse:
                 tri_bvh = collapse_bvh(tri_bvh, rounds=collapse)
+            tri_bvh = order_children_by_area(tri_bvh)
             tri_order = tri_bvh.prim_order + NA  # back to global shape ids
             tri_mats = shape_mats[tri_order]
             trace_rows_mega = build_trace_rows(
