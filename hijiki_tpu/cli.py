@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         "argsort; mega: in-kernel bitonic lane sort)",
     )
     p.add_argument(
+        "--fixed-albedo",
+        action="store_true",
+        help="Populate the albedo AOV (the reference declares it but never "
+        "assigns it), activating the denoiser's albedo feature term. "
+        "sync driver only; default off = reference parity",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory",
@@ -123,7 +130,11 @@ def main(argv=None) -> int:
         preview_path=args.preview_image,
         driver=args.driver,
         sort_lanes=args.sort_lanes,
+        fixed_albedo=args.fixed_albedo,
     )
+    if args.fixed_albedo and args.driver == "mega":
+        print("--fixed-albedo requires the sync or wavefront driver", file=sys.stderr)
+        return 2
 
     if args.devices > 1:
         from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer

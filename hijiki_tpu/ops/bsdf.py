@@ -105,6 +105,30 @@ def eval_bsdf(scene: CompiledScene, tag, idx, wi, its: Its):
     )
 
 
+def base_color(scene: CompiledScene, tag, idx, its: Its):
+    """First-hit surface reflectance for the fixed-albedo AOV mode.
+
+    The reference declares an albedo AOV but never assigns it
+    (render.glsl:84-85,174); parity mode keeps it zero. With
+    ``fixed_albedo`` the denoiser's albedo feature term becomes active using
+    this value: diffuse color / checkerboard texel at the hit UV; specular
+    and emissive surfaces contribute no albedo feature (zero), matching the
+    term's intent of separating diffuse texture detail from noise."""
+    dif_color = _clamp_gather(scene.diffuse_color, idx)
+    cb_color = checkerboard_texture(
+        _clamp_gather(scene.cb_color1, idx),
+        _clamp_gather(scene.cb_color2, idx),
+        _clamp_gather(scene.cb_scale, idx),
+        its.uv,
+    )
+    zero = jnp.zeros_like(dif_color)
+    return jnp.where(
+        (tag == TAG_DIFFUSE)[..., None],
+        dif_color,
+        jnp.where((tag == TAG_DIFFUSECBOARD)[..., None], cb_color, zero),
+    )
+
+
 def sample_bsdf(scene: CompiledScene, tag, idx, wi, its: Its, state, extinction, active):
     """``sampleBSDF`` (``shader/material.glsl:33-91``), masked over all tags.
 

@@ -95,7 +95,9 @@ def make_intersectors(scene: CompiledScene, traversal: str, leaf_size: int = 1):
 # All intersectors share the signature (o, d, tmin, tmax, active=None).
 
 
-def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
+def bounce_step(
+    scene: CompiledScene, s: dict, intersect, occluded, albedo_aov: bool = False
+) -> dict:
     """One wavefront bounce over the lane batch: intersect, record first-hit
     AOVs, Beer-Lambert attenuation, emissive accumulation, NEE + shadow ray,
     BSDF sampling, Russian roulette. ``s`` holds per-lane state including a
@@ -120,6 +122,16 @@ def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
     else:
         handle = scene.materials[jnp.minimum(its.shape_id, scene.num_shapes - 1)]
         tag, idx = split_handle(handle)
+
+    if albedo_aov:
+        # fixed-albedo mode (SURVEY §7 quirk 4): populate the AOV the
+        # reference declares but never assigns, activating the denoiser's
+        # albedo feature term
+        from hijiki_tpu.ops.bsdf import base_color
+
+        albedo = jnp.where(
+            first[..., None], base_color(scene, tag, idx, its), s["albedo"]
+        )
 
     # Beer-Lambert volumetric extinction (render.glsl:111-112).
     dist = jnp.linalg.norm(its.p - s["o"], axis=-1)
@@ -182,6 +194,8 @@ def bounce_step(scene: CompiledScene, s: dict, intersect, occluded) -> dict:
         depth=depth,
         normal=normal,
     )
+    if albedo_aov:
+        out["albedo"] = albedo
     return out
 
 
@@ -197,6 +211,7 @@ def integrate(
     use_bvh: bool = True,
     leaf_size: int = 1,
     traversal: str = "rows",
+    albedo_aov: bool = False,
 ) -> RenderOutputs:
     """Trace a batch of rays to completion. All inputs are per-lane arrays.
 
@@ -226,13 +241,14 @@ def integrate(
         alive=jnp.ones(shape, bool),
         depth=jnp.zeros(shape, f32),
         normal=jnp.zeros(shape + (3,), f32),
+        albedo=jnp.zeros(shape + (3,), f32),
     )
 
     def cond(s):
         return (s["iteration"] < max_bounces) & jnp.any(s["alive"])
 
     def body(s):
-        out = bounce_step(scene, s, intersect, occluded)
+        out = bounce_step(scene, s, intersect, occluded, albedo_aov=albedo_aov)
         out["iteration"] = s["iteration"] + 1
         return out
 
@@ -241,6 +257,6 @@ def integrate(
         total=s["total"],
         normal=s["normal"],
         depth=s["depth"],
-        albedo=jnp.zeros(shape + (3,), f32),
+        albedo=s["albedo"],
         state=s["state"],
     )

@@ -61,6 +61,10 @@ class RenderConfig:
     # traversal backend: None = "rows" (or "brute" when use_bvh=False);
     # "packet" selects the Pallas packet kernel (TPU only)
     traversal: str = ""
+    # fixed-albedo mode: populate the albedo AOV (the reference declares but
+    # never assigns it — render.glsl:84-85), activating the denoiser's
+    # albedo feature term. sync driver only; off = reference parity.
+    fixed_albedo: bool = False
 
 
 @partial(
@@ -78,6 +82,7 @@ class RenderConfig:
         "wavefront_lanes",
         "sort_lanes",
         "traversal",
+        "fixed_albedo",
     ),
 )
 def render_sweep(
@@ -97,6 +102,7 @@ def render_sweep(
     wavefront_lanes: int = 1 << 18,
     sort_lanes: bool = False,
     traversal: str = "",
+    fixed_albedo: bool = False,
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
@@ -170,10 +176,11 @@ def render_sweep(
             use_bvh=use_bvh,
             leaf_size=leaf_size,
             traversal=traversal,
+            albedo_aov=fixed_albedo,
         )
         total, normal, depth, albedo = out.total, out.normal, out.depth, out.albedo
 
-    if driver == "mega" and radius == 2:
+    if driver == "mega" and radius == 2 and not fixed_albedo:
         # Pallas stencil (render/pallas_reconstruct.py): the XLA formulation
         # costs tens of seconds per sweep on this stack (docs/PERF_NOTES.md)
         from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
@@ -237,6 +244,7 @@ class Renderer:
             wavefront_lanes=c.wavefront_lanes,
             sort_lanes=c.sort_lanes,
             traversal=c.traversal,
+            fixed_albedo=c.fixed_albedo,
         )
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):

@@ -91,3 +91,31 @@ def test_checkpoint_resume(cbox_small, tmp_path):
     assert resumed.sweeps_done == 2
     resumed.render()
     np.testing.assert_array_equal(np.asarray(resumed.film), np.asarray(straight.film))
+
+
+def test_fixed_albedo_mode(cbox_compiled):
+    """SURVEY §7 quirk 4: parity mode keeps the albedo AOV zero; fixed mode
+    populates it and activates the denoiser's albedo feature term."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hijiki_tpu.render.blocks import per_pixel_seeds
+    from hijiki_tpu.render.renderer import render_sweep
+
+    W = H = 64
+    seeds = jnp.asarray(
+        per_pixel_seeds(W, H, 64, np.array([[12345]], np.uint32))
+    )
+    offset = jnp.asarray(np.array([0.3, 0.7], np.float32))
+    kw = dict(width=W, height=H, block_size=64, use_bvh=True, max_bounces=8,
+              radius=2, stddev=0.5, leaf_size=1, driver="sync")
+    d0, _ = render_sweep(cbox_compiled, seeds, offset, **kw)
+    d1, _ = render_sweep(cbox_compiled, seeds, offset, fixed_albedo=True, **kw)
+    d0, d1 = np.asarray(d0), np.asarray(d1)
+    assert np.isfinite(d1).all()
+    # the albedo feature reweights the bilateral splat: same rays, different
+    # filter weights -> images differ but agree in overall level
+    assert (d0 != d1).any()
+    m0 = d0[..., :3].sum() / max(d0[..., 3].sum(), 1e-6)
+    m1 = d1[..., :3].sum() / max(d1[..., 3].sum(), 1e-6)
+    assert abs(m0 - m1) / max(m0, 1e-6) < 0.1
