@@ -145,7 +145,7 @@ def main(argv=None) -> int:
         import os
 
         if os.path.exists(args.checkpoint):
-            renderer = Renderer.resume_checkpoint(compiled, args.checkpoint)
+            renderer = Renderer.resume_checkpoint(compiled, args.checkpoint, config)
             print(f"Resumed from {args.checkpoint} at sweep {renderer.sweeps_done}")
         else:
             renderer = Renderer(compiled, config)

@@ -332,10 +332,32 @@ class Renderer:
         )
 
     @classmethod
-    def resume_checkpoint(cls, compiled: CompiledScene, path: str) -> "Renderer":
+    def resume_checkpoint(
+        cls,
+        compiled: CompiledScene,
+        path: str,
+        config: "RenderConfig | None" = None,
+    ) -> "Renderer":
+        """Resume a checkpointed render.
+
+        ``config`` (e.g. from fresh CLI flags) may override the checkpointed
+        one — so resuming with a higher spp renders the extra sweeps — but
+        fields that would change the already-accumulated film (geometry of
+        the estimate: size, seed, block size, driver, bounces) must match.
+        """
         data = np.load(path, allow_pickle=False)
-        config = RenderConfig(**json.loads(str(data["config"])))
-        r = cls(compiled, config)
+        ckpt_config = RenderConfig(**json.loads(str(data["config"])))
+        if config is not None:
+            for f in ("width", "height", "block_size", "seed", "use_bvh",
+                      "max_bounces", "driver", "reconstruction_radius",
+                      "reconstruction_stddev", "fixed_albedo"):
+                a, b = getattr(config, f), getattr(ckpt_config, f)
+                if a != b:
+                    raise ValueError(
+                        f"checkpoint resume: {f}={a!r} conflicts with the "
+                        f"checkpointed render's {f}={b!r}"
+                    )
+        r = cls(compiled, config or ckpt_config)
         r.film = jnp.asarray(data["film"])
         r.sweeps_done = int(data["sweeps_done"])
         # replay the scheduler to the checkpointed sweep so the remaining

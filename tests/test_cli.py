@@ -1,0 +1,61 @@
+"""CLI end-to-end on the CPU backend: flag plumbing, outputs, checkpointing.
+
+The reference's only interface is its CLI (src/main.rs:1426-1494); these
+tests drive ours the same way (main(argv), no subprocess so the conftest's
+CPU-mesh config applies).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cli_end_to_end(tmp_path):
+    from hijiki_tpu.cli import main
+    from hijiki_tpu.utils.exr import read_exr
+
+    out = str(tmp_path / "out.exr")
+    png = str(tmp_path / "prev.png")
+    rc = main([
+        "builtin:cornell", "--use-bvh", "-w", "64", "-H", "64", "-s", "2",
+        "--block-size", "64", "--max-bounces", "6",
+        "-o", out, "--preview-image", png, "--present-interval", "1",
+    ])
+    assert rc == 0
+    img = read_exr(out)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all() and img.mean() > 0.01
+    assert os.path.exists(png)  # progressive preview snapshots
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    from hijiki_tpu.cli import main
+    from hijiki_tpu.utils.exr import read_exr
+
+    ckpt = str(tmp_path / "r.ckpt.npz")
+    o1 = str(tmp_path / "a.exr")
+    o2 = str(tmp_path / "b.exr")
+    o3 = str(tmp_path / "c.exr")
+    base = ["builtin:cornell", "--use-bvh", "-w", "64", "-H", "64",
+            "--block-size", "64", "--max-bounces", "6", "--seed", "3"]
+    # 4 sweeps in one go
+    assert main(base + ["-s", "4", "-o", o1]) == 0
+    # 2 sweeps, checkpoint, then resume for the remaining 2
+    assert main(base + ["-s", "2", "-o", o2, "--checkpoint", ckpt]) == 0
+    assert os.path.exists(ckpt)
+    assert main(base + ["-s", "4", "-o", o3, "--checkpoint", ckpt]) == 0
+    a, c = read_exr(o1), read_exr(o3)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_flag_validation(tmp_path, capsys):
+    from hijiki_tpu.cli import main
+
+    # --fixed-albedo is sync/wavefront-only
+    rc = main(["builtin:cornell", "--driver", "mega", "--fixed-albedo",
+               "-w", "64", "-H", "64", "-s", "1"])
+    assert rc == 2
+    # unknown builtin
+    with pytest.raises(KeyError):
+        main(["builtin:nope", "-w", "64", "-H", "64", "-s", "1"])

@@ -1,0 +1,149 @@
+"""Measure the five BASELINE.json configs on the attached chip and print a
+markdown table for BASELINE.md.
+
+Usage: python tools/bench_configs.py [--spp N] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_mixed_scene():
+    """Config 3: checkerboard-textured triangles with real UVs + analytic
+    spheres + quads (the scene family tests/test_megakernel.py validates)."""
+    from hijiki_tpu.scene.model import (
+        Camera,
+        Dielectric,
+        Diffuse,
+        DiffuseCheckerboard,
+        Emissive,
+        Mirror,
+        Quad,
+        Scene,
+        Sphere,
+        Triangle,
+    )
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.7, 0.7, 0.7)))
+    cb = s.add_material(DiffuseCheckerboard((0.9, 0.2, 0.2), 0.25, (0.2, 0.2, 0.9), 0.25))
+    mirror = s.add_material(Mirror())
+    glass = s.add_material(Dielectric.clear(1.5))
+    light = s.add_material(Emissive((10.0, 10.0, 10.0)))
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 0, 4)), white)
+    s.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 3, 0)), cb)
+    s.add_object(Quad((-0.5, 2.8, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    s.positions = np.array(
+        [[-1.5, 0.01, 1.5], [1.5, 0.01, 1.5], [0.0, 0.01, -1.5]], np.float32
+    )
+    s.normals = np.array([[0, 1, 0]] * 3, np.float32)
+    s.uvs = np.array([[0, 0], [4, 0], [2, 4]], np.float32)
+    s.add_object(Triangle((0, 1, 2)), cb)
+    s.add_object(Sphere((-0.8, 0.5, 0.3), 0.5), mirror)
+    s.add_object(Sphere((0.8, 0.5, 0.3), 0.5), glass)
+    return s
+
+
+def run_config(name, scene, W, H, spp, driver="mega"):
+    import jax
+
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+    from hijiki_tpu.scene.compile import compile_scene
+
+    compiled = compile_scene(scene)
+    cfg = RenderConfig(width=W, height=H, spp=spp, seed=1, driver=driver,
+                       max_bounces=1000)
+    r = Renderer(compiled, cfg)
+    r.render()
+    r.image()  # compile+warm
+    r2 = Renderer(compiled, dataclasses_replace(cfg, seed=2))
+    t0 = time.monotonic()
+    r2.render()
+    img = r2.image()
+    dt = time.monotonic() - t0
+    mrays = W * H * spp / dt / 1e6
+    log(f"{name}: {dt:.2f}s, {mrays:.3f} Mrays/s, mean {img.mean():.4f}")
+    return mrays, dt, float(img.mean())
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--quick", action="store_true", help="8 spp")
+    args = ap.parse_args()
+    spp = 8 if args.quick else args.spp
+
+    from hijiki_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    rows = []
+
+    # 1: cbox diffuse-only (the plain scene is diffuse + emissive)
+    sc = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    rows.append(("1 cbox diffuse-only 512^2", *run_config("cfg1", sc, 512, 512, spp)))
+
+    # 2: full material set (mirror + checkerboard + dielectric + emissive)
+    sc = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    sc.put_cbox_spheres()
+    sc.put_dielectric_sphere()
+    rows.append(("2 full materials 512^2", *run_config("cfg2", sc, 512, 512, spp)))
+
+    # 3: textured triangles (UV lookup) + analytic spheres, mixed
+    rows.append(("3 textured mixed 512^2", *run_config("cfg3", build_mixed_scene(), 512, 512, spp)))
+
+    # 4: wavefront multi-bounce with compaction, 1024^2 (bench.py config)
+    sc = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    sc.put_cbox_spheres()
+    rows.append(("4 wavefront 1024^2", *run_config("cfg4", sc, 1024, 1024, max(spp // 8, 1))))
+
+    # 5: bilateral denoise + progressive preview accumulation (reconstruction
+    # throughput: pallas stencil over one sweep's AOVs)
+    import jax.numpy as jnp
+
+    from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
+
+    W = H = 1024
+    rng = np.random.default_rng(0)
+    total = jnp.asarray(rng.random((H, W, 3), np.float32))
+    normal = jnp.asarray(rng.standard_normal((H, W, 3)).astype(np.float32))
+    off = jnp.asarray(np.array([0.5, 0.5], np.float32))
+    np.asarray(reconstruct_pallas(total, normal, off, block_size=128, stddev=0.5))
+    t0 = time.monotonic()
+    reps = 10
+    for _ in range(reps):
+        out = reconstruct_pallas(total, normal, off, block_size=128, stddev=0.5)
+    np.asarray(out)
+    dt = (time.monotonic() - t0) / reps
+    mpix = W * H / dt / 1e6
+    log(f"cfg5: reconstruction {dt*1000:.1f} ms/sweep @1024^2 = {mpix:.1f} Mpix/s")
+    rows.append(("5 bilateral reconstruction 1024^2", mpix, dt, 0.0))
+
+    print("| config | Mrays/s (cfg5: Mpix/s) | seconds | image mean |")
+    print("|---|---|---|---|")
+    for name, v, dt, mean in rows:
+        print(f"| {name} | {v:.3f} | {dt:.2f} | {mean:.4f} |")
+
+
+if __name__ == "__main__":
+    main()
