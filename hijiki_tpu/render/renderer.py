@@ -218,8 +218,26 @@ def render_sweep(
     return film_delta, stats
 
 
+# the megakernel stages its trace table in VMEM; beyond this size the Mosaic
+# compile fails (measured on v5e: 19 MB compiles, 48 MB does not), so big
+# scenes fall back to the XLA sync driver (HBM-resident tables)
+MEGA_TABLE_LIMIT_BYTES = 24 << 20
+
+
 class Renderer:
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
+        if (
+            config.driver == "mega"
+            and compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES
+        ):
+            import warnings
+
+            warnings.warn(
+                f"scene's trace table "
+                f"({compiled.trace_rows_mega.nbytes >> 20} MB) exceeds the "
+                f"megakernel's VMEM budget; falling back to the sync driver"
+            )
+            config = dataclasses.replace(config, driver="sync")
         self.scene = scene_to_device(compiled)
         self.config = config
         self.scheduler = BlockScheduler(

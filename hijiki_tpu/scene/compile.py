@@ -206,37 +206,45 @@ def build_trace_rows(
     np.cumsum(rows_per_node, out=row_start[1:])
     total = int(row_start[-1])
 
-    def node_to_row(idx):  # idx may be n_nodes (the off-the-end sentinel)
-        return row_start[idx]
-
     rows = np.zeros((total, TRACE_ROW_WIDTH), dtype=np.float32)
-    for node in range(n_nodes):
-        r0 = int(row_start[node])
-        exit_row = float(node_to_row(min(int(bvh.exit[node]), n_nodes)))
-        if bvh.count[node] == 0:  # interior: AABB row
-            rows[r0, 0:3] = bvh.aabb_min[node]
-            rows[r0, 3:6] = bvh.aabb_max[node]
-            rows[r0, 9] = -1.0
-            rows[r0, 10] = exit_row
-            rows[r0, 11] = -1.0
-        else:
-            first, count = int(bvh.first[node]), int(bvh.count[node])
-            for k in range(count):
-                slot = first + k
-                r = r0 + k
-                rows[r, 0:3] = prim_a[slot]
-                rows[r, 3:6] = prim_b[slot]
-                rows[r, 6:9] = prim_c[slot]
-                rows[r, 9] = float(prim_kind[slot])
-                rows[r, 10] = float(r + 1) if k + 1 < count else exit_row
-                rows[r, 11] = float(slot)
-                rows[r, 12] = float(prim_tag[slot])
-                rows[r, 13] = float(prim_midx[slot])
-                rows[r, 14 : 14 + 15] = prim_payload[slot]
-                # cols 29-31: precomputed plane normal v1 x v2 for the
-                # quad/triangle test (unused by spheres/interiors) so the
-                # traversal kernel skips the per-step cross product
-                rows[r, 29:32] = np.cross(rows[r, 3:6], rows[r, 6:9])
+    is_leaf = counts > 0
+    exit_rows = row_start[np.minimum(bvh.exit.astype(np.int64), n_nodes)]
+
+    # interior rows (fully vectorized — a python per-node loop costs ~10s at
+    # 100k prims)
+    int_r = row_start[:-1][~is_leaf]
+    rows[int_r, 0:3] = bvh.aabb_min[~is_leaf]
+    rows[int_r, 3:6] = bvh.aabb_max[~is_leaf]
+    rows[int_r, 9] = -1.0
+    rows[int_r, 10] = exit_rows[~is_leaf]
+    rows[int_r, 11] = -1.0
+
+    # primitive rows: expand each leaf into `count` consecutive rows
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    if leaf_nodes.size:
+        leaf_counts = counts[leaf_nodes]
+        node_rep = np.repeat(leaf_nodes, leaf_counts)  # owning node per row
+        # k = index within the leaf run
+        ends = np.cumsum(leaf_counts)
+        k = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(
+            ends - leaf_counts, leaf_counts
+        )
+        r = row_start[node_rep] + k
+        slot = bvh.first[node_rep].astype(np.int64) + k
+        rows[r, 0:3] = prim_a[slot]
+        rows[r, 3:6] = prim_b[slot]
+        rows[r, 6:9] = prim_c[slot]
+        rows[r, 9] = prim_kind[slot]
+        last = k + 1 == np.repeat(leaf_counts, leaf_counts)
+        rows[r, 10] = np.where(last, exit_rows[node_rep], r + 1)
+        rows[r, 11] = slot
+        rows[r, 12] = prim_tag[slot]
+        rows[r, 13] = prim_midx[slot]
+        rows[r, 14 : 14 + 15] = prim_payload[slot]
+        # cols 29-31: precomputed plane normal v1 x v2 for the quad/triangle
+        # test (unused by spheres/interiors) so the traversal kernel skips
+        # the per-step cross product
+        rows[r, 29:32] = np.cross(prim_b[slot], prim_c[slot])
     return rows
 
 

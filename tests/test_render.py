@@ -119,3 +119,41 @@ def test_fixed_albedo_mode(cbox_compiled):
     m0 = d0[..., :3].sum() / max(d0[..., 3].sum(), 1e-6)
     m1 = d1[..., :3].sum() / max(d1[..., 3].sum(), 1e-6)
     assert abs(m0 - m1) / max(m0, 1e-6) < 0.1
+
+
+def test_mega_table_limit_fallback():
+    """Scenes whose trace table exceeds the megakernel's VMEM budget fall
+    back to the sync driver instead of failing the device compile."""
+    import warnings
+
+    import numpy as np
+
+    from hijiki_tpu.render import renderer as rmod
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.model import Camera, Diffuse, Emissive, Quad, Scene, Triangle
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.7, 0.7, 0.7)))
+    light = s.add_material(Emissive((10.0,) * 3))
+    s.add_object(Quad((-0.5, 2.8, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    rng = np.random.default_rng(0)
+    n = 256
+    ctr = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    s.positions = np.concatenate([ctr, ctr + 0.01, ctr + 0.02]).astype(np.float32)
+    s.normals = np.tile(np.array([[0, 1, 0]], np.float32), (3 * n, 1))
+    s.uvs = np.zeros((3 * n, 2), np.float32)
+    for i in range(n):
+        s.add_object(Triangle((i, n + i, 2 * n + i)), white)
+    cs = compile_scene(s)
+
+    old = rmod.MEGA_TABLE_LIMIT_BYTES
+    rmod.MEGA_TABLE_LIMIT_BYTES = 1024  # force the limit
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r = Renderer(cs, RenderConfig(width=64, height=64, spp=1, driver="mega"))
+        assert r.config.driver == "sync"
+        assert any("VMEM budget" in str(x.message) for x in w)
+    finally:
+        rmod.MEGA_TABLE_LIMIT_BYTES = old
