@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Populate the albedo AOV (the reference declares it but never "
         "assigns it), activating the denoiser's albedo feature term. "
-        "sync driver only; default off = reference parity",
+        "sync/mega drivers; default off = reference parity",
     )
     p.add_argument(
         "--profile-dir",
@@ -132,8 +132,8 @@ def main(argv=None) -> int:
         sort_lanes=args.sort_lanes,
         fixed_albedo=args.fixed_albedo,
     )
-    if args.fixed_albedo and args.driver == "mega":
-        print("--fixed-albedo requires the sync or wavefront driver", file=sys.stderr)
+    if args.fixed_albedo and args.driver == "wavefront":
+        print("--fixed-albedo requires the sync or mega driver", file=sys.stderr)
         return 2
 
     if args.devices > 1:

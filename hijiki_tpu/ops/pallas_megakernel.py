@@ -470,7 +470,7 @@ def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
 _SORT_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3", "rows", "pid",
+    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "pid",
 ]
 
 
@@ -788,6 +788,14 @@ def _bounce_loop(rows_ref, cfg, init):
         cosw = sdx * nx + sdy * ny + sdz * nz
         is_dif = tag == f32(TAG_DIFFUSE)
         is_cb = tag == f32(TAG_DIFFUSECBOARD)
+        # first-hit albedo AOV (fixed-albedo mode; zero-cost in parity mode
+        # because the channels are simply never read): diffuse/checkerboard
+        # reflectance, zero for specular/emissive (ops/bsdf.py::base_color)
+        fa = found & (s["bounce"] == 0)
+        zero3 = jnp.zeros_like(cbr)
+        ar = jnp.where(fa, jnp.where(is_dif, dcol[0], jnp.where(is_cb, cbr, zero3)), s["ar"])
+        ag = jnp.where(fa, jnp.where(is_dif, dcol[1], jnp.where(is_cb, cbg, zero3)), s["ag"])
+        ab = jnp.where(fa, jnp.where(is_dif, dcol[2], jnp.where(is_cb, cbb, zero3)), s["ab"])
         evr = cosw * jnp.where(is_dif, dcol[0], cbr) * f32(1.0 / M_PI)
         evg = cosw * jnp.where(is_dif, dcol[1], cbg) * f32(1.0 / M_PI)
         evb = cosw * jnp.where(is_dif, dcol[2], cbb) * f32(1.0 / M_PI)
@@ -928,6 +936,9 @@ def _bounce_loop(rows_ref, cfg, init):
             n2=n2o,
             n3=n3o,
             rows=s["rows"] + h["nit"] + sh["nit"],
+            ar=ar,
+            ag=ag,
+            ab=ab,
             pid=s["pid"],
         )
         if lane_sort:
@@ -995,6 +1006,9 @@ def _camera_init(px, py, seed, cfg):
         n2=jnp.zeros((SUBLANES, PACKET), f32),
         n3=jnp.zeros((SUBLANES, PACKET), f32),
         rows=jnp.zeros((SUBLANES, PACKET), f32),
+        ar=jnp.zeros((SUBLANES, PACKET), f32),
+        ag=jnp.zeros((SUBLANES, PACKET), f32),
+        ab=jnp.zeros((SUBLANES, PACKET), f32),
     )
 
     return init
@@ -1082,7 +1096,7 @@ def render_tiles(
 _STATE_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3", "rows",
+    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab",
 ]
 N_STATE = len(_STATE_CH)
 
@@ -1249,16 +1263,16 @@ def render_waves(
 
     def commit(res, res_state, flat, rngf, orig):
         vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23]]
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23], flat[24], flat[25], flat[26]]
         )
         res = res.at[:, orig].set(vals)
         res_state = res_state.at[orig].set(rngf)
         return res, res_state
 
     # phase 0 covers every lane in order: plain copy, no scatter
-    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces,rows-visited)
+    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces,rows-visited,albedo rgb)
     res = jnp.stack(
-        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23]]
+        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23], flat[24], flat[25], flat[26]]
     )
     res_state = rngf
 
@@ -1317,5 +1331,6 @@ def render_waves(
 
     total = jnp.stack([res[0], res[1], res[2]], axis=-1)[:N_req]
     normal = jnp.stack([res[3], res[4], res[5]], axis=-1)[:N_req]
+    albedo = jnp.stack([res[9][:N_req], res[10][:N_req], res[11][:N_req]], axis=-1)
     return (total, normal, res[6][:N_req], res_state[:N_req], overflow,
-            res[7][:N_req], res[8][:N_req])
+            res[7][:N_req], res[8][:N_req], albedo)

@@ -272,7 +272,7 @@ def make_sharded_mega_sweep(
         )
 
     def per_device(scene_, px, py, seeds, sample_offset):
-        t, n, dep, _, ovf, _, _ = render_waves(
+        t, n, dep, _, ovf, _, _, _ = render_waves(
             scene_,
             px,
             py,

@@ -120,7 +120,7 @@ def render_sweep(
         # path trace runs on-chip; XLA only does inter-phase compaction.
         from hijiki_tpu.ops.pallas_megakernel import render_waves
 
-        t_, n_, dep_, _, overflow_, bounces_, rows_ = render_waves(
+        t_, n_, dep_, _, overflow_, bounces_, rows_, alb_ = render_waves(
             scene,
             px[..., 0].reshape(-1),
             px[..., 1].reshape(-1),
@@ -133,7 +133,9 @@ def render_sweep(
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)
         depth = dep_.reshape(H, W)
-        albedo = jnp.zeros((H, W, 3), f32)
+        # parity mode keeps the AOV zero (reference quirk); fixed-albedo uses
+        # the kernel's captured first-hit reflectance
+        albedo = alb_.reshape(H, W, 3) if fixed_albedo else jnp.zeros((H, W, 3), f32)
         path_segments = jnp.sum(bounces_)
         # per-lane counters are tile-uniform: sum/1024 = total row visits
         rows_visited = jnp.sum(rows_) / 1024.0

@@ -52,8 +52,8 @@ def test_cli_checkpoint_resume(tmp_path):
 def test_cli_flag_validation(tmp_path, capsys):
     from hijiki_tpu.cli import main
 
-    # --fixed-albedo is sync/wavefront-only
-    rc = main(["builtin:cornell", "--driver", "mega", "--fixed-albedo",
+    # --fixed-albedo is sync/mega-only
+    rc = main(["builtin:cornell", "--driver", "wavefront", "--fixed-albedo",
                "-w", "64", "-H", "64", "-s", "1"])
     assert rc == 2
     # unknown builtin

@@ -157,3 +157,36 @@ def test_mega_table_limit_fallback():
         assert any("VMEM budget" in str(x.message) for x in w)
     finally:
         rmod.MEGA_TABLE_LIMIT_BYTES = old
+
+
+def test_fixed_albedo_mega_matches_sync(cbox_compiled):
+    """The megakernel's captured first-hit albedo agrees with the XLA
+    integrator's base_color (fixed-albedo mode, interpret kernels on CPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hijiki_tpu.ops.camera import camera_rays
+    from hijiki_tpu.ops.integrate import integrate
+    from hijiki_tpu.ops.pallas_megakernel import render_waves
+    from hijiki_tpu.ops.rng import seed_rng
+
+    cs = cbox_compiled
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.5).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.5).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 747796405 % (1 << 32)).astype(np.uint32))
+    out = render_waves(cs, px, py, seeds, width=W, height=H, max_bounces=4,
+                       phase_bounces=(), interpret=True)
+    alb_mega = np.asarray(out[7])
+    pxy = jnp.stack([px, py], -1)
+    o, d, tmin, tmax = camera_rays(
+        cs.cam_position, cs.cam_rotation, cs.cam_fov, pxy,
+        jnp.asarray([W, H], jnp.float32),
+    )
+    ref = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=4,
+                    traversal="rows", albedo_aov=True)
+    alb_sync = np.asarray(ref.albedo)
+    assert alb_mega.max() > 0.1  # walls captured
+    np.testing.assert_allclose(alb_mega, alb_sync, rtol=1e-4, atol=1e-5)
