@@ -122,3 +122,50 @@ def test_builtin_cornell_presets():
     img = np.asarray(out.total)
     assert np.isfinite(img).all()
     assert img.mean() > 0.02  # lit
+
+
+def test_bvh_transforms_preserve_invariants():
+    """collapse_bvh / order_children_by_area keep the threaded-preorder
+    contract: exit[i] == i + subtree_size(i), every node visited exactly once
+    by the always-descend walk, leaves keep all prims, boxes contain their
+    subtrees' prims."""
+    import numpy as np
+
+    from hijiki_tpu.accel.bvh import build_bvh, collapse_bvh, order_children_by_area
+
+    rng = np.random.default_rng(0)
+    n = 500
+    mn = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    mx = mn + rng.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+    b0 = build_bvh(mn, mx, leaf_size=1)
+
+    def check(b):
+        N = b.num_nodes
+        visited = np.zeros(N, bool)
+        cur = 0
+        steps = 0
+        while cur < N and steps <= N:
+            assert not visited[cur]
+            visited[cur] = True
+            steps += 1
+            cur = int(b.exit[cur]) if b.count[cur] > 0 else cur + 1
+        assert visited.all() and steps == N
+        prims = []
+        for i in range(N):
+            if b.count[i] > 0:
+                prims.extend(b.prim_order[b.first[i]:b.first[i] + b.count[i]].tolist())
+        assert sorted(prims) == list(range(n))
+        # each interior box contains its children's boxes
+        for i in range(N):
+            if b.count[i] == 0:
+                c = i + 1
+                while c < b.exit[i]:
+                    assert (b.aabb_min[i] <= b.aabb_min[c] + 1e-5).all()
+                    assert (b.aabb_max[i] >= b.aabb_max[c] - 1e-5).all()
+                    c = int(b.exit[c])
+
+    check(b0)
+    for rounds in (1, 2):
+        check(collapse_bvh(b0, rounds))
+    check(order_children_by_area(b0))
+    check(order_children_by_area(collapse_bvh(b0, 1)))
