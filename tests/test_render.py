@@ -190,3 +190,25 @@ def test_fixed_albedo_mega_matches_sync(cbox_compiled):
     alb_sync = np.asarray(ref.albedo)
     assert alb_mega.max() > 0.1  # walls captured
     np.testing.assert_allclose(alb_mega, alb_sync, rtol=1e-4, atol=1e-5)
+
+
+def test_golden_cbox_statistics(cbox_compiled):
+    """Golden-image regression: a fixed-seed 32x32@16spp cbox render's
+    statistics, pinned across sessions/refactors. The cross-implementation
+    tests prove oracle == XLA == Pallas *relative* equality; this pins the
+    *absolute* estimator against silent drift. Values recorded on the CPU
+    backend (mean 0.1333, TPU agrees to ~3e-6 — f32 ULP noise only)."""
+    import numpy as np
+
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+
+    r = Renderer(
+        cbox_compiled,
+        RenderConfig(width=32, height=32, spp=16, block_size=64, seed=7,
+                     driver="sync", max_bounces=16),
+    )
+    r.render()
+    img = r.image()
+    assert abs(float(img.mean()) - 0.133258) < 5e-4
+    q = np.quantile(img, [0.1, 0.5, 0.9])
+    np.testing.assert_allclose(q, [0.0, 0.030775, 0.209008], atol=2e-3)
