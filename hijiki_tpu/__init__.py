@@ -1,29 +1,28 @@
-"""hijiki-tpu: a TPU-native (JAX/XLA/Pallas) physically-based wavefront path tracer.
+"""hijiki-tpu: a TPU-native wavefront path tracer (JAX/XLA/Pallas).
 
-A brand-new implementation of the capabilities of the wgpu/GLSL renderer
-``mad-s/hijiki``, re-architected for TPU hardware: rendering is a wavefront of
-batched SPMD stages (camera ray generation, ray-BVH traversal, masked BSDF
-shading with next-event estimation and Russian roulette) over SoA ray batches,
-followed by a bilateral feature-buffer reconstruction filter and progressive
-accumulation into a (rgb*weight, weight) framebuffer. Pixels/samples shard
-across a ``jax.sharding.Mesh`` with a psum framebuffer reduction over ICI.
+Library quick start::
 
-The Monte-Carlo estimator (RNG stream, sampling decisions, accumulation math)
-matches the reference exactly, so images agree statistically at equal spp.
+    from hijiki_tpu import RenderConfig, Renderer, compile_scene, load_preset
+    scene = load_preset("cornell-spheres")       # or load_obj_scene(path)
+    r = Renderer(compile_scene(scene),
+                 RenderConfig(width=512, height=512, spp=64, driver="mega"))
+    r.render()
+    image = r.image()                            # (H, W, 3) float RGB
+
+The CLI twin: ``python -m hijiki_tpu.cli --help``.
 """
 
-__version__ = "0.1.0"
+from hijiki_tpu.render.renderer import RenderConfig, Renderer, render_sweep
+from hijiki_tpu.scene.compile import CompiledScene, compile_scene
+from hijiki_tpu.scene.obj import load_obj_scene
+from hijiki_tpu.scene.presets import load_preset
 
-from hijiki_tpu.scene.model import (  # noqa: F401
-    Camera,
-    Scene,
-    Material,
-    MATERIAL_TAG_SHIFT,
-    TAG_DIFFUSE,
-    TAG_DIFFUSECBOARD,
-    TAG_MIRROR,
-    TAG_DIELECTRIC,
-    TAG_EMISSIVE,
-)
-from hijiki_tpu.scene.obj import load_obj_scene  # noqa: F401
-from hijiki_tpu.scene.compile import compile_scene, CompiledScene  # noqa: F401
+__all__ = [
+    "CompiledScene",
+    "RenderConfig",
+    "Renderer",
+    "compile_scene",
+    "load_obj_scene",
+    "load_preset",
+    "render_sweep",
+]

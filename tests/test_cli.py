@@ -49,7 +49,7 @@ def test_cli_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
 
 
-def test_cli_flag_validation(tmp_path, capsys):
+def test_cli_flag_validation(tmp_path):
     from hijiki_tpu.cli import main
 
     # --fixed-albedo is sync/mega-only
