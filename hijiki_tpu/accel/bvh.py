@@ -195,17 +195,13 @@ def brute_force_reference_order(bvh: FlatBVH) -> np.ndarray:
     return bvh.prim_order.copy()
 
 
-def order_children_by_area(b: FlatBVH) -> FlatBVH:
+def _reflatten(b: FlatBVH, sort_children) -> FlatBVH:
     """Re-emit the threaded preorder with each interior node's children
-    sorted by descending surface area.
+    reordered by ``sort_children(child_indices) -> child_indices``.
 
-    The packet walker visits children in preorder; putting the child a ray is
-    most likely to hit first tightens best_t sooner, which prunes the
-    siblings' subtrees. Pure traversal-order change: closest hit is still the
-    min-t winner, so the estimator is untouched. Measured: -16% node visits
-    in an idealized simulation but ~0% in real renders on cbox (the baked
-    analytic prims already pre-tighten best_t); kept because it is free at
-    render time and can only help on scenes without that pre-tightening.
+    Pure traversal-order change: leaves keep their first/count and
+    prim_order is untouched, so closest hit is still the min-t winner and
+    the estimator is unaffected.
     """
     n = b.num_nodes
     if n <= 1:
@@ -226,10 +222,6 @@ def order_children_by_area(b: FlatBVH) -> FlatBVH:
         if count[i] == 0:
             size[i] = 1 + sum(size[k] for k in children(i))
 
-    def area(i):
-        d = b.aabb_max[i] - b.aabb_min[i]
-        return float(2 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2]))
-
     f_min = np.empty((n, 3), dtype=np.float32)
     f_max = np.empty((n, 3), dtype=np.float32)
     f_first = np.empty(n, dtype=np.int32)
@@ -248,7 +240,7 @@ def order_children_by_area(b: FlatBVH) -> FlatBVH:
         else:
             f_first[out] = out + 1
             f_count[out] = 0
-            ks = sorted(children(ti), key=area, reverse=True)
+            ks = sort_children(children(ti))
             pos = out + 1
             entries = []
             for k in ks:
@@ -269,6 +261,50 @@ def order_children_by_area(b: FlatBVH) -> FlatBVH:
         exit=f_exit,
         prim_order=b.prim_order.copy(),
     )
+
+
+def order_children_by_area(b: FlatBVH) -> FlatBVH:
+    """Re-emit the threaded preorder with each interior node's children
+    sorted by descending surface area.
+
+    The packet walker visits children in preorder; putting the child a ray is
+    most likely to hit first tightens best_t sooner, which prunes the
+    siblings' subtrees. Measured: -16% node visits in an idealized simulation
+    but ~0% in real renders on cbox (the baked analytic prims already
+    pre-tighten best_t); kept because it is free at render time and can only
+    help on scenes without that pre-tightening.
+    """
+
+    def area(i):
+        d = b.aabb_max[i] - b.aabb_min[i]
+        return float(2 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2]))
+
+    return _reflatten(b, lambda ks: sorted(ks, key=area, reverse=True))
+
+
+def order_children_octant(b: FlatBVH, octant: int) -> FlatBVH:
+    """Re-emit the threaded preorder with children ordered near-to-far for
+    rays of direction octant ``octant`` (bit k set = positive axis k, the
+    packet kernels' convention).
+
+    A threaded/stackless walk has a fixed visit order, so near-first ordering
+    needs one flattening per octant: children sort by ascending projection of
+    their AABB centroid onto the octant diagonal. Rays matching the octant
+    then reach the nearest subtree first, tightening best_t early and letting
+    the slab test's ``t0 < best_t`` cull far siblings — the stackless
+    equivalent of ordered (distance-sorted) BVH traversal.
+    """
+    d = np.array(
+        [
+            1.0 if octant & 1 else -1.0,
+            1.0 if octant & 2 else -1.0,
+            1.0 if octant & 4 else -1.0,
+        ],
+        dtype=np.float64,
+    )
+    cent = (b.aabb_min.astype(np.float64) + b.aabb_max.astype(np.float64)) @ d
+
+    return _reflatten(b, lambda ks: sorted(ks, key=lambda k: cent[k]))
 
 
 def collapse_bvh(bvh: FlatBVH, rounds: int = 1) -> FlatBVH:

@@ -210,10 +210,16 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
     return dict(hitf=hitf)
 
 
-def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
-              want_payload):
+def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
+              ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
+
+    ``base`` is the per-packet (8,1) absolute start row — octant-ordered
+    table sets (scene.compile.build_octant_trace_tables) store 8 flattenings
+    of the tree and each packet walks the one matching its majority ray
+    octant, rows [base, base + tbl_rows). Winner rows are absolute;
+    ``total_rows`` (+k) encodes analytic winners and (+len) the miss.
 
     tmax doubles as the active mask: lanes with tmax < 0 accept nothing and
     never vote a packet into descending.
@@ -231,13 +237,14 @@ def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
     tox = -ox * inv_dx
     toy = -oy * inv_dy
     toz = -oz * inv_dz
+    end = base + tbl_rows  # (8,1) per-packet walk bound
 
     def cond(c):
-        return jnp.any(c["cur"] < num_rows)
+        return jnp.any(c["cur"] < end)
 
     def body(c):
         cur = c["cur"]  # (8,1)
-        rows8 = _fetch_rows8(rows_ref, num_rows, cur)
+        rows8 = _fetch_rows8(rows_ref, total_rows, cur)
         # broadcast each used column to (8,128) ONCE — Mosaic re-materializes
         # an (8,1)->(8,128) broadcast at every use site otherwise (~175ns/iter
         # measured), so hoisting these is one of the walker's biggest wins
@@ -250,7 +257,7 @@ def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
 
-        active = cur < num_rows
+        active = cur < end
         is_prim = kind >= f32(0.0)
         is_prim_s = kind_s >= f32(0.0)  # (8,1) twin for cursor arithmetic
         if want_payload:
@@ -337,31 +344,31 @@ def _traverse(rows_ref, num_rows, analytic, ox, oy, oz, dx, dy, dz, tmin, tmax,
         if not want_payload:
             # any-hit: a packet whose lanes all resolved can exit early
             done = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
-            nxt = jnp.where(done, num_rows, nxt)
+            nxt = jnp.where(done, end, nxt)
         out["cur"] = jnp.where(active, nxt, cur)
         out["nit"] = c["nit"] + f32(1.0)  # row-visit counter (~2 ops/iter)
         return out
 
     init = dict(
-        cur=jnp.zeros((SUBLANES, 1), jnp.int32),
+        cur=base,
         nit=jnp.zeros((SUBLANES, PACKET), f32),
     )
     if analytic:
         pre = _analytic_pretest(
-            analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
+            analytic, total_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
         )
         init.update(pre)
     elif want_payload:
         init["t"] = tmax
         init["u"] = jnp.zeros((SUBLANES, PACKET), f32)
         init["v"] = jnp.zeros((SUBLANES, PACKET), f32)
-        init["wrow"] = jnp.full((SUBLANES, PACKET), num_rows, jnp.int32)
+        init["wrow"] = jnp.full((SUBLANES, PACKET), total_rows, jnp.int32)
     else:
         init["hitf"] = jnp.zeros((SUBLANES, PACKET), f32)
     final = jax.lax.while_loop(cond, body, init)
     if not want_payload:
         return final
-    return _resolve_winners(rows_ref, num_rows, analytic, final)
+    return _resolve_winners(rows_ref, total_rows, analytic, final)
 
 
 def _resolve_winners(rows_ref, num_rows, analytic, walk):
@@ -503,9 +510,30 @@ def _lane_sort(s, cfg, by_pid=False):
     return out
 
 
+def _octant_base(mask, dx, dy, dz, tbl_rows, ntab):
+    """Per-packet majority-octant table base (8,1): each packet walks the
+    octant-ordered table matching the sign-vote of its masked lanes'
+    directions. With a single table the base is a constant zero."""
+    if ntab == 1:
+        return jnp.zeros((SUBLANES, 1), jnp.int32)
+
+    def vote(d):
+        s = jnp.where(mask, jnp.where(d > 0, f32(1.0), f32(-1.0)), f32(0.0))
+        return jnp.sum(s, axis=1, keepdims=True)
+
+    oct_ = (
+        (vote(dx) > 0).astype(jnp.int32)
+        + 2 * (vote(dy) > 0).astype(jnp.int32)
+        + 4 * (vote(dz) > 0).astype(jnp.int32)
+    )
+    return oct_ * tbl_rows
+
+
 def _bounce_loop(rows_ref, cfg, init):
     """Run the bounce while-loop from an initial state dict; returns final state."""
-    num_rows = cfg["num_rows"]
+    tbl_rows = cfg["tbl_rows"]
+    total_rows = cfg["total_rows"]
+    ntab = cfg["ntab"]
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
@@ -526,8 +554,10 @@ def _bounce_loop(rows_ref, cfg, init):
         tmax = jnp.where(alive, f32(BIG), f32(-1.0))
         h = _traverse(
             rows_ref,
-            num_rows,
+            tbl_rows,
+            total_rows,
             cfg["analytic"],
+            _octant_base(alive, s["dx"], s["dy"], s["dz"], tbl_rows, ntab),
             s["ox"],
             s["oy"],
             s["oz"],
@@ -762,8 +792,10 @@ def _bounce_loop(rows_ref, cfg, init):
 
         sh = _traverse(
             rows_ref,
-            num_rows,
+            tbl_rows,
+            total_rows,
             cfg["analytic"],
+            _octant_base(gate, sdx, sdy, sdz, tbl_rows, ntab),
             hx,
             hy,
             hz,
@@ -1046,10 +1078,12 @@ def render_tiles(
         raise ValueError("pad ray count to a multiple of 1024")
     n_tiles = N // TILE
     rows = scene.trace_rows_mega
-    R = rows.shape[0]
+    ntab = scene.mega_num_tables_static
 
     cfg = dict(
-        num_rows=R,
+        tbl_rows=rows.shape[0] // ntab,
+        total_rows=rows.shape[0],
+        ntab=ntab,
         max_bounces=max_bounces,
         camera=scene.camera_static,
         width=width,
@@ -1220,10 +1254,12 @@ def render_waves(
         seeds = jnp.concatenate([seeds, jnp.zeros(pad, seeds.dtype)])
     N = px.shape[0]
     rows = scene.trace_rows_mega
-    R = rows.shape[0]
+    ntab = scene.mega_num_tables_static
 
     base_cfg = dict(
-        num_rows=R,
+        tbl_rows=rows.shape[0] // ntab,
+        total_rows=rows.shape[0],
+        ntab=ntab,
         camera=scene.camera_static,
         width=width,
         height=height,

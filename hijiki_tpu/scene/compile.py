@@ -158,10 +158,22 @@ class CompiledScene:
     material_bake_static: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # trace_rows_mega holds this many independently-flattened copies of the
+    # tree (8 = one per ray-direction octant with near-to-far child order,
+    # 1 = a single area-ordered table). Each copy is rows/ntab rows; exit
+    # pointers are absolute into the concatenated array.
+    mega_num_tables_static: int = dataclasses.field(
+        metadata=dict(static=True), default=1
+    )
 
     @property
     def num_shapes(self) -> int:
         return self.num_spheres + self.num_quads + self.num_triangles
+
+    @property
+    def mega_tbl_rows(self) -> int:
+        """Rows per traversal table inside trace_rows_mega."""
+        return self.trace_rows_mega.shape[0] // self.mega_num_tables_static
 
 
 TRACE_ROW_WIDTH = 32
@@ -248,8 +260,37 @@ def build_trace_rows(
     return rows
 
 
+# Byte budget for the megakernel's VMEM-resident table set. 8 octant tables
+# multiply the table size; past this we fall back to a single table (and the
+# renderer's own VMEM limit may then route huge scenes to the sync driver).
+OCTANT_TABLE_BUDGET_BYTES = 12 << 20
+
+
+def build_octant_trace_tables(bvh, prim_args) -> np.ndarray:
+    """Concatenate 8 flattenings of the same tree, one per ray-direction
+    octant with near-to-far child ordering (ordered stackless traversal; see
+    accel.bvh.order_children_octant). Exit pointers are rebased to absolute
+    rows; every table has identical row count (same nodes, same leaf runs).
+
+    Traversal picks table ``oct`` by starting at row ``oct * R`` and walking
+    while ``cur < (oct+1) * R``.
+    """
+    from hijiki_tpu.accel.bvh import order_children_octant
+
+    tables = []
+    R = None
+    for octant in range(8):
+        rows_o = build_trace_rows(order_children_octant(bvh, octant), *prim_args)
+        if R is None:
+            R = rows_o.shape[0]
+        assert rows_o.shape[0] == R, "octant flattenings must agree in size"
+        rows_o[:, 10] += np.float32(octant * R)  # absolute exit pointers
+        tables.append(rows_o)
+    return np.concatenate(tables, axis=0)
+
+
 def compile_scene(
-    scene: Scene, leaf_size: int = 1, collapse: int = 1
+    scene: Scene, leaf_size: int = 1, collapse: int = 1, octant_tables: str = "auto"
 ) -> CompiledScene:
     spheres: list[tuple[Sphere, int]] = []
     quads: list[tuple[Quad, int]] = []
@@ -403,6 +444,16 @@ def compile_scene(
     # culling the tree walk. The full trace_rows stays for the XLA drivers.
     NA = S + Q
     midx_mask = (1 << MATERIAL_TAG_SHIFT) - 1
+    mega_num_tables = 1
+
+    def want_octants(base_rows: int) -> bool:
+        if octant_tables == "never":
+            return False
+        sz = 8 * base_rows * TRACE_ROW_WIDTH * 4
+        if octant_tables == "always":
+            return True
+        return sz <= OCTANT_TABLE_BUDGET_BYTES
+
     if 0 < NA <= 8:
         analytic = []
         for sh in range(NA):
@@ -426,8 +477,7 @@ def compile_scene(
             tri_bvh = order_children_by_area(tri_bvh)
             tri_order = tri_bvh.prim_order + NA  # back to global shape ids
             tri_mats = shape_mats[tri_order]
-            trace_rows_mega = build_trace_rows(
-                tri_bvh,
+            tri_prim_args = (
                 a[tri_order],
                 b[tri_order],
                 c[tri_order],
@@ -436,6 +486,10 @@ def compile_scene(
                 tri_mats & midx_mask,
                 payload[tri_order],
             )
+            trace_rows_mega = build_trace_rows(tri_bvh, *tri_prim_args)
+            if want_octants(trace_rows_mega.shape[0]):
+                trace_rows_mega = build_octant_trace_tables(tri_bvh, tri_prim_args)
+                mega_num_tables = 8
         else:
             # all-analytic scene: one inert interior row (never hit, exits)
             trace_rows_mega = np.zeros((1, TRACE_ROW_WIDTH), dtype=np.float32)
@@ -444,6 +498,20 @@ def compile_scene(
     else:
         analytic_bake = ()
         trace_rows_mega = trace_rows
+        if want_octants(trace_rows.shape[0]):
+            trace_rows_mega = build_octant_trace_tables(
+                bvh,
+                (
+                    a[order],
+                    b[order],
+                    c[order],
+                    kind[order],
+                    mats_by_order >> MATERIAL_TAG_SHIFT,
+                    mats_by_order & midx_mask,
+                    payload[order],
+                ),
+            )
+            mega_num_tables = 8
 
     # static per-emitter metadata for gather-free unrolled emitter sampling
     em_kind, em_local, em_midx = [], [], []
@@ -554,6 +622,7 @@ def compile_scene(
         + tuple(float(x) for x in bvh.aabb_max[0]),
         emitter_bake_static=tuple(em_bake),
         material_bake_static=material_bake,
+        mega_num_tables_static=mega_num_tables,
     )
 
 

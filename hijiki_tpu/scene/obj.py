@@ -15,6 +15,13 @@ Reimplements ``Scene::from_obj`` (``src/main.rs:414-531``) without tobj:
   (``src/main.rs:417-425``).
 * Faces appearing before any ``usemtl`` are skipped, mirroring the reference's
   ``material_id: None => continue`` (``src/main.rs:479-482``).
+
+One deliberate extension beyond the reference: the reference *requires*
+per-vertex normals (``src/main.rs:468`` unwraps the normal index) and panics
+on OBJs without them. Here faces lacking ``vn`` get generated normals —
+area-weighted vertex normals within a smoothing group (``s N``), flat face
+normals when smoothing is off (``s off``/``s 0``, the OBJ default). Files
+with normals behave exactly as the reference.
 """
 
 from __future__ import annotations
@@ -94,9 +101,15 @@ def load_obj_scene(path: str) -> Scene:
     out_normals: List[Tuple[float, float, float]] = []
     out_uvs: List[Tuple[float, float]] = []
 
-    # Per-model dedup of (v, vt, vn) triples; a new 'o'/'g' starts a new model.
-    triple_cache: Dict[Tuple[int, int, int], int] = {}
+    # Per-model dedup of (v, vt, vn[, smoothing group]) triples; a new
+    # 'o'/'g' starts a new model.
+    triple_cache: Dict[Tuple[int, int, int, int], int] = {}
     current_material: Optional[int] = None
+    smoothing_group = 0  # OBJ default: smoothing off
+    # out-vertex indices whose normal must be generated (accumulated
+    # area-weighted face normals, normalized at the end)
+    gen_normal: List[int] = []
+    gen_faces: List[Tuple[int, int, int]] = []
 
     def new_model():
         triple_cache.clear()
@@ -118,18 +131,20 @@ def load_obj_scene(path: str) -> Scene:
             if len(vs) > 2 and vs[2] != ""
             else -1
         )
-        key = (vi, ti, ni)
-        if key in triple_cache:
-            return triple_cache[key]
+        # generated normals are shared only within a smoothing group; with
+        # smoothing off every face gets fresh vertices (flat shading)
+        key = (vi, ti, ni, smoothing_group if ni < 0 else -1)
+        if ni >= 0 or smoothing_group:
+            if key in triple_cache:
+                return triple_cache[key]
         idx = len(out_positions)
         out_positions.append(positions_raw[vi])
         out_uvs.append(uvs_raw[ti] if ti >= 0 else (0.0, 0.0))
         if ni < 0:
-            raise ValueError(
-                "face vertex without a normal: the reference requires normals "
-                "(src/main.rs:468 unwrap)"
-            )
-        out_normals.append(normals_raw[ni])
+            out_normals.append((0.0, 0.0, 0.0))
+            gen_normal.append(idx)
+        else:
+            out_normals.append(normals_raw[ni])
         triple_cache[key] = idx
         return idx
 
@@ -155,14 +170,20 @@ def load_obj_scene(path: str) -> Scene:
                         mtl_order.append(m)
             elif key == "usemtl":
                 current_material = mtl_index.get(parts[1])
+            elif key == "s":
+                tok = parts[1] if len(parts) > 1 else "off"
+                smoothing_group = 0 if tok in ("off", "0") else int(tok)
             elif key == "f":
                 if current_material is None:
                     continue
                 idxs = [vertex_for(tok) for tok in parts[1:]]
+                has_gen = any("/" not in t or t.split("/")[2:3] in ([], [""])
+                              for t in parts[1:])
                 for k in range(1, len(idxs) - 1):  # fan triangulation
-                    scene.add_object(
-                        Triangle((idxs[0], idxs[k], idxs[k + 1])), current_material
-                    )
+                    tri = (idxs[0], idxs[k], idxs[k + 1])
+                    scene.add_object(Triangle(tri), current_material)
+                    if has_gen:
+                        gen_faces.append(tri)
 
     # Materials enter the scene in MTL declaration order, like the reference's
     # iteration over tobj's material list (src/main.rs:431-458).
@@ -172,4 +193,22 @@ def load_obj_scene(path: str) -> Scene:
     scene.positions = np.asarray(out_positions, dtype=np.float32).reshape(-1, 3)
     scene.normals = np.asarray(out_normals, dtype=np.float32).reshape(-1, 3)
     scene.uvs = np.asarray(out_uvs, dtype=np.float32).reshape(-1, 2)
+
+    if gen_normal:
+        # area-weighted accumulation: the unnormalized cross product is twice
+        # the face area times the unit normal, so summing it per vertex and
+        # normalizing yields area-weighted smooth normals; flat-shaded faces
+        # have unshared vertices, so they end up with the plain face normal
+        need = np.zeros(len(out_positions), dtype=bool)
+        need[gen_normal] = True
+        p = scene.positions
+        acc = np.zeros_like(scene.normals)
+        for ia, ib, ic in gen_faces:
+            fn = np.cross(p[ib] - p[ia], p[ic] - p[ia])
+            for iv in (ia, ib, ic):
+                if need[iv]:
+                    acc[iv] += fn
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        acc = np.divide(acc, norms, out=np.zeros_like(acc), where=norms > 0)
+        scene.normals[need] = acc[need]
     return scene

@@ -169,3 +169,51 @@ def test_bvh_transforms_preserve_invariants():
         check(collapse_bvh(b0, rounds))
     check(order_children_by_area(b0))
     check(order_children_by_area(collapse_bvh(b0, 1)))
+
+
+def test_obj_generated_normals(tmp_path):
+    """OBJs without vn get generated normals: smooth (area-weighted) within a
+    smoothing group, flat with smoothing off; files with vn are untouched."""
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    (tmp_path / "m.mtl").write_text("newmtl white\nKd 0.8 0.8 0.8\n")
+    # two triangles sharing edge (0,0,0)-(1,0,1): one in xz-plane (normal +y),
+    # one slanted; smooth group => shared vertices get a blended normal
+    obj = """mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 1 0 1
+v 0 1 1
+usemtl white
+s 1
+f 1 2 3
+f 1 3 4
+"""
+    p = tmp_path / "smooth.obj"
+    p.write_text(obj)
+    scene = load_obj_scene(str(p))
+    assert len(scene.objects) == 2
+    n = scene.normals
+    assert np.allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
+    # shared vertices (v1, v3) blend both faces: not equal to either face normal
+    tri0 = scene.objects[0][0].indices
+    tri1 = scene.objects[1][0].indices
+    shared = set(tri0) & set(tri1)
+    assert len(shared) == 2
+    f0 = np.cross(
+        scene.positions[tri0[1]] - scene.positions[tri0[0]],
+        scene.positions[tri0[2]] - scene.positions[tri0[0]],
+    )
+    f0 /= np.linalg.norm(f0)
+    sv = next(iter(shared))
+    assert not np.allclose(n[sv], f0, atol=1e-4)
+
+    # flat: same geometry, no smoothing -> six distinct vertices, each face's
+    # vertices carry exactly the face normal
+    p2 = tmp_path / "flat.obj"
+    p2.write_text(obj.replace("s 1\n", ""))
+    sc2 = load_obj_scene(str(p2))
+    t0 = sc2.objects[0][0].indices
+    assert len(set(t0) & set(sc2.objects[1][0].indices)) == 0
+    for iv in t0:
+        assert np.allclose(sc2.normals[iv], f0, atol=1e-6)
