@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,12 @@ from hijiki_tpu.scene.compile import CompiledScene
 
 M_EPS = 1e-4
 M_PI = 3.1415926535897932384626433832795
-PACKET = 128
+# Lanes per packet (rays sharing one traversal cursor). 128 = one VREG row.
+# Wider packets issue multi-VREG vector ops whose halves are independent,
+# filling the VPU's latency bubbles (the walk is a serial dependency chain,
+# ~6 cycles/op at width 128) at the price of larger per-packet row unions.
+# Overridable for experiments; see docs/PERF_NOTES.md.
+PACKET = int(os.environ.get("HIJIKI_MEGA_PACKET", "128"))
 SUBLANES = 8
 TILE = SUBLANES * PACKET
 
@@ -486,6 +492,8 @@ def _lane_sort(s, cfg, by_pid=False):
     between bounces for packet coherence, or by ``pid`` to restore the
     original lane order before output. Pure permutation of whole paths —
     estimator untouched (ops/pallas_sort.py)."""
+    if PACKET != 128:
+        raise ValueError("lane_sort requires the default 128-lane packets")
     if by_pid:
         key = s["pid"]
     else:
@@ -1075,7 +1083,7 @@ def render_tiles(
     depth(N,), state(N,)). N must be a multiple of 1024."""
     N = px.shape[0]
     if N % TILE != 0:
-        raise ValueError("pad ray count to a multiple of 1024")
+        raise ValueError(f"pad ray count to a multiple of {TILE}")
     n_tiles = N // TILE
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static

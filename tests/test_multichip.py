@@ -85,3 +85,42 @@ def test_mega_multichip_matches_single(cbox_small):
     np.testing.assert_allclose(
         np.asarray(multi.film), np.asarray(single.film), rtol=1e-4, atol=1e-5
     )
+
+
+def test_multihost_sweep_sharding_matches_single(cbox_small):
+    """Simulated multi-host run (explicit host ids): the merged film of N
+    host-strided partial renders must equal the single render bitwise — the
+    sweep set is identical and film accumulation is plain addition."""
+    from hijiki_tpu.parallel.multihost import (
+        MultiHostRenderer,
+        host_sweeps,
+        merge_films,
+    )
+
+    cfg = RenderConfig(
+        width=128, height=64, spp=5, block_size=64, seed=11, max_bounces=6
+    )
+    single = Renderer(cbox_small, cfg)
+    single.render()
+
+    n_hosts = 3
+    ids = [host_sweeps(cfg.spp, h, n_hosts) for h in range(n_hosts)]
+    assert sorted(sum(ids, [])) == list(range(cfg.spp))  # exact partition
+
+    hosts = [
+        MultiHostRenderer(cbox_small, cfg, host_id=h, num_hosts=n_hosts)
+        for h in range(n_hosts)
+    ]
+    for h in hosts:
+        m = h.render()
+        assert m["sweeps"] == len(ids[h.host_id])
+    merged = merge_films([h.film for h in hosts])
+    # same sweeps, same per-sweep deltas; merge order may differ from the
+    # single render's accumulation order -> float-assoc tolerance
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(single.film), rtol=1e-6, atol=1e-7
+    )
+    # single-process merged_film() is the local partial
+    np.testing.assert_array_equal(
+        np.asarray(hosts[0].merged_film()), np.asarray(hosts[0].film)
+    )
