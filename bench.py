@@ -23,6 +23,9 @@ def log(*a):
 
 
 def main():
+    from hijiki_tpu.utils.tpuenv import configure_tpu_env
+
+    configure_tpu_env()
     from hijiki_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

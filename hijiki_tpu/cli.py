@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from hijiki_tpu.utils.tpuenv import configure_tpu_env
+
+    configure_tpu_env()
     from hijiki_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -40,11 +40,16 @@ from hijiki_tpu.scene.compile import CompiledScene
 M_EPS = 1e-4
 M_PI = 3.1415926535897932384626433832795
 # Lanes per packet (rays sharing one traversal cursor). 128 = one VREG row.
-# Wider packets issue multi-VREG vector ops whose halves are independent,
-# filling the VPU's latency bubbles (the walk is a serial dependency chain,
-# ~6 cycles/op at width 128) at the price of larger per-packet row unions.
-# Overridable for experiments; see docs/PERF_NOTES.md.
+# Wider packets issue multi-VREG vector ops whose halves are independent
+# chains, filling the VPU's latency bubbles (the walk is a serial dependency
+# chain, ~6 cycles/op at width 128) at the price of larger per-packet row
+# unions. Measured on cbox 512^2 (v5e): 256 -> 1.27x, 512 -> 1.45x,
+# 1024 -> 1.59x end-to-end vs 128; 2048 exceeds the 16 MB VMEM scoped limit.
+# The renderer picks MEGA_PACKET_TPU on TPU devices; kernels are
+# shape-generic, this module constant is only the default (env override for
+# experiments).
 PACKET = int(os.environ.get("HIJIKI_MEGA_PACKET", "128"))
+MEGA_PACKET_TPU = 1024
 SUBLANES = 8
 TILE = SUBLANES * PACKET
 
@@ -153,10 +158,10 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
     Semantics mirror the in-table rows exactly (same accept predicates), so
     the estimator is unchanged; winners are encoded as wrow = num_rows + k,
     miss = num_rows + len(analytic)."""
-    zero = jnp.zeros((SUBLANES, PACKET), f32)
+    zero = jnp.zeros(ox.shape, f32)
     if want_payload:
         best_t, u_o, v_o = tmax, zero, zero
-        wrow = jnp.full((SUBLANES, PACKET), num_rows + len(analytic), jnp.int32)
+        wrow = jnp.full(ox.shape, num_rows + len(analytic), jnp.int32)
     else:
         hitf = zero
     for k, entry in enumerate(analytic):
@@ -254,7 +259,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         # broadcast each used column to (8,128) ONCE — Mosaic re-materializes
         # an (8,1)->(8,128) broadcast at every use site otherwise (~175ns/iter
         # measured), so hoisting these is one of the walker's biggest wins
-        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, PACKET))
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], ox.shape)
         col_s = lambda j: rows8[:, j : j + 1]  # (8,1) for per-packet cursor ops
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
@@ -341,7 +346,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             out["t"] = jnp.where(accept, pt, c["t"])
             out["u"] = jnp.where(accept, pu, c["u"])
             out["v"] = jnp.where(accept, pv, c["v"])
-            cur_b = jnp.broadcast_to(cur, (SUBLANES, PACKET))
+            cur_b = jnp.broadcast_to(cur, ox.shape)
             out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
@@ -357,7 +362,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
 
     init = dict(
         cur=base,
-        nit=jnp.zeros((SUBLANES, PACKET), f32),
+        nit=jnp.zeros(ox.shape, f32),
     )
     if analytic:
         pre = _analytic_pretest(
@@ -366,11 +371,11 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         init.update(pre)
     elif want_payload:
         init["t"] = tmax
-        init["u"] = jnp.zeros((SUBLANES, PACKET), f32)
-        init["v"] = jnp.zeros((SUBLANES, PACKET), f32)
-        init["wrow"] = jnp.full((SUBLANES, PACKET), total_rows, jnp.int32)
+        init["u"] = jnp.zeros(ox.shape, f32)
+        init["v"] = jnp.zeros(ox.shape, f32)
+        init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
     else:
-        init["hitf"] = jnp.zeros((SUBLANES, PACKET), f32)
+        init["hitf"] = jnp.zeros(ox.shape, f32)
     final = jax.lax.while_loop(cond, body, init)
     if not want_payload:
         return final
@@ -387,17 +392,18 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk):
     """
     wrow = walk["wrow"]
     miss = num_rows + len(analytic)
+    shp = walk["t"].shape
     outs = dict(
         t=walk["t"],
         u=walk["u"],
         v=walk["v"],
         hitf=jnp.where(wrow < miss, f32(1.0), f32(0.0)),
-        kind=jnp.zeros((SUBLANES, PACKET), f32),
-        tag=jnp.zeros((SUBLANES, PACKET), f32),
-        midx=jnp.zeros((SUBLANES, PACKET), f32),
+        kind=jnp.zeros(shp, f32),
+        tag=jnp.zeros(shp, f32),
+        midx=jnp.zeros(shp, f32),
     )
     for j in range(15):
-        outs[f"pay{j}"] = jnp.zeros((SUBLANES, PACKET), f32)
+        outs[f"pay{j}"] = jnp.zeros(shp, f32)
     outs["pending"] = jnp.where(wrow < num_rows, wrow, jnp.int32(num_rows))
     outs["nit"] = walk["nit"]
 
@@ -407,8 +413,8 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk):
     def body(c):
         tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
         rows8 = _fetch_rows8(rows_ref, num_rows, tgt)
-        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, PACKET))
-        tgt_b = jnp.broadcast_to(tgt, (SUBLANES, PACKET))
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], wrow.shape)
+        tgt_b = jnp.broadcast_to(tgt, wrow.shape)
         # the < num_rows guard keeps miss lanes (wrow == num_rows) from
         # matching a fully-resolved packet's sentinel target
         sel = (wrow == tgt_b) & (tgt_b < num_rows)
@@ -483,7 +489,7 @@ def _checkerboard(c1r, c1g, c1b, su, c2r, c2g, c2b, sv, uvx, uvy):
 _SORT_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "pid",
+    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "segs", "pid",
 ]
 
 
@@ -492,7 +498,7 @@ def _lane_sort(s, cfg, by_pid=False):
     between bounces for packet coherence, or by ``pid`` to restore the
     original lane order before output. Pure permutation of whole paths —
     estimator untouched (ops/pallas_sort.py)."""
-    if PACKET != 128:
+    if s["ox"].shape[1] != 128:
         raise ValueError("lane_sort requires the default 128-lane packets")
     if by_pid:
         key = s["pid"]
@@ -548,9 +554,10 @@ def _bounce_loop(rows_ref, cfg, init):
     lane_sort = cfg.get("lane_sort", False)
 
     init = dict(init)
+    pshape = init["ox"].shape
     init["pid"] = jax.lax.broadcasted_iota(
-        jnp.int32, (SUBLANES, PACKET), 0
-    ) * PACKET + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, PACKET), 1)
+        jnp.int32, pshape, 0
+    ) * pshape[1] + jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
 
     def cond(s):
         # max over lanes: resumed tiles mix stale dead lanes (smaller bounce)
@@ -953,6 +960,9 @@ def _bounce_loop(rows_ref, cfg, init):
         out = dict(
             alive=alive_n.astype(jnp.int32),
             bounce=s["bounce"] + 1,
+            # true per-path segment count (f32 masked add: the i32-carry and
+            # int-convert forms both hit Mosaic relayout limits)
+            segs=jnp.where(alive, s["segs"] + f32(1.0), s["segs"]),
             ox=oxn,
             oy=oyn,
             oz=ozn,
@@ -1021,34 +1031,41 @@ def _camera_init(px, py, seed, cfg):
     state0 = _wang_hash(seed)
 
     init = dict(
-        alive=jnp.ones((SUBLANES, PACKET), jnp.int32),
-        bounce=jnp.zeros((SUBLANES, PACKET), jnp.int32),
-        ox=jnp.full((SUBLANES, PACKET), f32(cx)),
-        oy=jnp.full((SUBLANES, PACKET), f32(cy)),
-        oz=jnp.full((SUBLANES, PACKET), f32(cz)),
+        alive=jnp.ones(px.shape, jnp.int32),
+        bounce=jnp.zeros(px.shape, jnp.int32),
+        # px*0, not zeros: gives the segs loop carry a lane-varying layout
+        # from the start — Mosaic's carry-layout inference fixes each carry
+        # on its first pass, and a splat-initialized carry whose updates turn
+        # varying later dies with "invalid relayout ... replicated in
+        # destination". x*0.0 is IEEE-unfoldable (NaN*0 = NaN), so the
+        # compiler cannot constant-fold it back to a splat.
+        segs=px * f32(0.0),
+        ox=jnp.full(px.shape, f32(cx)),
+        oy=jnp.full(px.shape, f32(cy)),
+        oz=jnp.full(px.shape, f32(cz)),
         dx=dxu * inv_len,
         dy=dyu * inv_len,
         dz=dzu * inv_len,
-        tmin=jnp.full((SUBLANES, PACKET), f32(M_EPS)),
+        tmin=jnp.full(px.shape, f32(M_EPS)),
         state=state0,
-        tr=jnp.ones((SUBLANES, PACKET), f32),
-        tg=jnp.ones((SUBLANES, PACKET), f32),
-        tb=jnp.ones((SUBLANES, PACKET), f32),
-        er=jnp.zeros((SUBLANES, PACKET), f32),
-        eg=jnp.zeros((SUBLANES, PACKET), f32),
-        eb=jnp.zeros((SUBLANES, PACKET), f32),
-        Lr=jnp.zeros((SUBLANES, PACKET), f32),
-        Lg=jnp.zeros((SUBLANES, PACKET), f32),
-        Lb=jnp.zeros((SUBLANES, PACKET), f32),
-        wd=jnp.ones((SUBLANES, PACKET), jnp.int32),  # wasDiscrete
-        depth=jnp.zeros((SUBLANES, PACKET), f32),
-        n1=jnp.zeros((SUBLANES, PACKET), f32),
-        n2=jnp.zeros((SUBLANES, PACKET), f32),
-        n3=jnp.zeros((SUBLANES, PACKET), f32),
-        rows=jnp.zeros((SUBLANES, PACKET), f32),
-        ar=jnp.zeros((SUBLANES, PACKET), f32),
-        ag=jnp.zeros((SUBLANES, PACKET), f32),
-        ab=jnp.zeros((SUBLANES, PACKET), f32),
+        tr=jnp.ones(px.shape, f32),
+        tg=jnp.ones(px.shape, f32),
+        tb=jnp.ones(px.shape, f32),
+        er=jnp.zeros(px.shape, f32),
+        eg=jnp.zeros(px.shape, f32),
+        eb=jnp.zeros(px.shape, f32),
+        Lr=jnp.zeros(px.shape, f32),
+        Lg=jnp.zeros(px.shape, f32),
+        Lb=jnp.zeros(px.shape, f32),
+        wd=jnp.ones(px.shape, jnp.int32),  # wasDiscrete
+        depth=jnp.zeros(px.shape, f32),
+        n1=jnp.zeros(px.shape, f32),
+        n2=jnp.zeros(px.shape, f32),
+        n3=jnp.zeros(px.shape, f32),
+        rows=jnp.zeros(px.shape, f32),
+        ar=jnp.zeros(px.shape, f32),
+        ag=jnp.zeros(px.shape, f32),
+        ab=jnp.zeros(px.shape, f32),
     )
 
     return init
@@ -1078,13 +1095,15 @@ def render_tiles(
     max_bounces: int = 1000,
     lane_sort: bool = False,
     interpret: bool = False,
+    packet: int = PACKET,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
-    depth(N,), state(N,)). N must be a multiple of 1024."""
+    depth(N,), state(N,)). N must be a multiple of 8*packet."""
     N = px.shape[0]
-    if N % TILE != 0:
-        raise ValueError(f"pad ray count to a multiple of {TILE}")
-    n_tiles = N // TILE
+    tile = SUBLANES * packet
+    if N % tile != 0:
+        raise ValueError(f"pad ray count to a multiple of {tile}")
+    n_tiles = N // tile
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static
 
@@ -1103,23 +1122,23 @@ def render_tiles(
         lane_sort=lane_sort,
     )
 
-    shape = (n_tiles, SUBLANES, PACKET)
+    shape = (n_tiles, SUBLANES, packet)
     out, state = pl.pallas_call(
         functools.partial(_megakernel, cfg=cfg),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, 7, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 7, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 7, SUBLANES, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, PACKET), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, 7, SUBLANES, packet), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, packet), jnp.uint32),
         ),
         interpret=interpret,
     )(rows, px.reshape(shape), py.reshape(shape), seeds.reshape(shape))
@@ -1138,7 +1157,7 @@ def render_tiles(
 _STATE_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
-    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab",
+    "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "segs",
 ]
 N_STATE = len(_STATE_CH)
 
@@ -1178,28 +1197,29 @@ def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
 
 
 def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
+    packet = ins[0].shape[-1]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     for a in ins:
         nch = a.shape[1] if a.ndim == 4 else None
         if a.ndim == 4:
             in_specs.append(
-                pl.BlockSpec((None, nch, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((None, nch, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
             )
         else:
             in_specs.append(
-                pl.BlockSpec((None, SUBLANES, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             )
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((None, N_STATE, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N_STATE, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, N_STATE, SUBLANES, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, PACKET), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, N_STATE, SUBLANES, packet), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, packet), jnp.uint32),
         ),
         interpret=interpret,
     )(rows, *ins)
@@ -1215,6 +1235,7 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "phase_shrink",
         "lane_sort",
         "interpret",
+        "packet",
     ),
 )
 def render_waves(
@@ -1230,6 +1251,7 @@ def render_waves(
     phase_shrink: tuple = (2, 4, 4),
     lane_sort: bool = False,
     interpret: bool = False,
+    packet: int = PACKET,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -1253,7 +1275,8 @@ def render_waves(
     traversal-work metric (docs/PERF_NOTES.md §9).
     """
     N_req = px.shape[0]
-    pad = (-N_req) % TILE
+    tile = SUBLANES * packet
+    pad = (-N_req) % tile
     if pad:
         # trace a few dummy rays (duplicates of ray 0) and drop their results:
         # non-multiple-of-1024 images (e.g. the reference's 800x600 default)
@@ -1283,10 +1306,10 @@ def render_waves(
     shrinks = list(phase_shrink) + [4] * (len(caps) - 1 - len(phase_shrink))
 
     def tiles_of(n):
-        return n // TILE
+        return n // tile
 
     # ---- phase 0: camera launch over all N lanes ----
-    shape3 = (tiles_of(N), SUBLANES, PACKET)
+    shape3 = (tiles_of(N), SUBLANES, packet)
     st, rng_st = _launch_state_kernel(
         _megakernel_start,
         dict(base_cfg, max_bounces=caps[0]),
@@ -1307,7 +1330,7 @@ def render_waves(
 
     def commit(res, res_state, flat, rngf, orig):
         vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23], flat[24], flat[25], flat[26]]
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
         )
         res = res.at[:, orig].set(vals)
         res_state = res_state.at[orig].set(rngf)
@@ -1316,7 +1339,7 @@ def render_waves(
     # phase 0 covers every lane in order: plain copy, no scatter
     # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces,rows-visited,albedo rgb)
     res = jnp.stack(
-        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[1], flat[23], flat[24], flat[25], flat[26]]
+        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
     )
     res_state = rngf
 
@@ -1326,7 +1349,7 @@ def render_waves(
     root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
 
     for pi, cap in enumerate(caps[1:]):
-        n_next = max(TILE, -(-(n_lanes // shrinks[pi]) // TILE) * TILE)
+        n_next = max(tile, -(-(n_lanes // shrinks[pi]) // tile) * tile)
         alive = flat[0] > 0
         alive_i = alive.astype(jnp.int32)
         n_alive = jnp.sum(alive_i)
@@ -1358,9 +1381,9 @@ def render_waves(
         orig = orig[order]
 
         st_in = jnp.moveaxis(
-            flat.reshape(N_STATE, tiles_of(n_next), SUBLANES, PACKET), 0, 1
+            flat.reshape(N_STATE, tiles_of(n_next), SUBLANES, packet), 0, 1
         )
-        rng_in = rngf.reshape(tiles_of(n_next), 1, SUBLANES, PACKET)
+        rng_in = rngf.reshape(tiles_of(n_next), 1, SUBLANES, packet)
         st, rng_st = _launch_state_kernel(
             _megakernel_resume,
             dict(base_cfg, max_bounces=cap),

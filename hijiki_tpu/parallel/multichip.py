@@ -244,6 +244,7 @@ def make_sharded_mega_sweep(
     max_bounces: int,
     stddev: float,
     interpret: bool = False,
+    packet: int = 128,
 ):
     """Sharded sweep for the Pallas megakernel driver.
 
@@ -281,6 +282,7 @@ def make_sharded_mega_sweep(
             height=height,
             max_bounces=max_bounces,
             interpret=interpret,
+            packet=packet,
         )
         idx = jax.lax.axis_index(axis)
         row0 = idx * band
@@ -333,6 +335,8 @@ class MegaMultiChipRenderer(Renderer):
         self.mesh = Mesh(np.array(devices), ("d",))
         self.n_dev = len(devices)
         c = config
+        from hijiki_tpu.render.renderer import resolve_mega_packet
+
         self._sweep_fn = make_sharded_mega_sweep(
             self.mesh,
             self.scene,
@@ -342,6 +346,7 @@ class MegaMultiChipRenderer(Renderer):
             max_bounces=c.max_bounces,
             stddev=c.reconstruction_stddev,
             interpret=interpret,
+            packet=resolve_mega_packet(c.mega_packet),
         )
 
     def render(self, progress=None):

@@ -65,6 +65,10 @@ class RenderConfig:
     # never assigns it — render.glsl:84-85), activating the denoiser's
     # albedo feature term. sync driver only; off = reference parity.
     fixed_albedo: bool = False
+    # mega driver packet width (lanes per traversal cursor); 0 = auto
+    # (1024 on TPU — measured 1.59x over 128 — else 128). Estimator is
+    # width-independent: per-lane RNG/radiance are identical for any width.
+    mega_packet: int = 0
 
 
 @partial(
@@ -83,6 +87,7 @@ class RenderConfig:
         "sort_lanes",
         "traversal",
         "fixed_albedo",
+        "mega_packet",
     ),
 )
 def render_sweep(
@@ -103,6 +108,7 @@ def render_sweep(
     sort_lanes: bool = False,
     traversal: str = "",
     fixed_albedo: bool = False,
+    mega_packet: int = 128,
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
@@ -129,6 +135,7 @@ def render_sweep(
             height=H,
             max_bounces=max_bounces,
             lane_sort=sort_lanes,
+            packet=mega_packet,
         )
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)
@@ -137,8 +144,8 @@ def render_sweep(
         # the kernel's captured first-hit reflectance
         albedo = alb_.reshape(H, W, 3) if fixed_albedo else jnp.zeros((H, W, 3), f32)
         path_segments = jnp.sum(bounces_)
-        # per-lane counters are tile-uniform: sum/1024 = total row visits
-        rows_visited = jnp.sum(rows_) / 1024.0
+        # per-lane counters are tile-uniform: sum/tile-lanes = row visits
+        rows_visited = jnp.sum(rows_) / (8.0 * mega_packet)
         wave_overflow = overflow_
     elif driver == "wavefront":
         from hijiki_tpu.render.wavefront import render_wavefront
@@ -226,6 +233,24 @@ def render_sweep(
 MEGA_TABLE_LIMIT_BYTES = 24 << 20
 
 
+def resolve_mega_packet(requested: int) -> int:
+    """0 = auto: wide packets on TPU (ops/pallas_megakernel.MEGA_PACKET_TPU),
+    one-VREG 128 elsewhere (CPU interpret mode gains nothing from width).
+    HIJIKI_MEGA_PACKET overrides the auto choice (experiments)."""
+    if requested:
+        return requested
+    import os
+
+    env = os.environ.get("HIJIKI_MEGA_PACKET")
+    if env:
+        return int(env)
+    import jax
+
+    from hijiki_tpu.ops.pallas_megakernel import MEGA_PACKET_TPU
+
+    return MEGA_PACKET_TPU if jax.devices()[0].platform != "cpu" else 128
+
+
 class Renderer:
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
         if (
@@ -265,6 +290,7 @@ class Renderer:
             sort_lanes=c.sort_lanes,
             traversal=c.traversal,
             fixed_albedo=c.fixed_albedo,
+            mega_packet=resolve_mega_packet(c.mega_packet),
         )
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):

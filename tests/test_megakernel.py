@@ -280,3 +280,28 @@ def test_megakernel_many_analytics_fallback():
     out = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=12, traversal="rows")
     np.testing.assert_array_equal(np.asarray(state), np.asarray(out.state))
     np.testing.assert_allclose(np.asarray(total), np.asarray(out.total), rtol=2e-3, atol=2e-3)
+
+
+def test_packet_width_invariance(setup):
+    """The estimator is packet-width independent: per-lane RNG streams and
+    accepts don't depend on how many lanes share a traversal cursor, so any
+    width gives identical images (interpret mode, 64x32 = one 256-wide tile)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+
+    cs = setup[0]
+    W, H = 64, 32
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    px = jnp.asarray((x + 0.5).reshape(-1))
+    py = jnp.asarray((y + 0.5).reshape(-1))
+    seeds = jnp.asarray(np.arange(H * W, dtype=np.uint32) * np.uint32(2654435761))
+
+    outs = {}
+    for packet in (128, 256):
+        t, n, dep, st = render_tiles(
+            cs, px, py, seeds, width=W, height=H, max_bounces=4,
+            interpret=True, packet=packet,
+        )
+        outs[packet] = np.asarray(t)
+    np.testing.assert_array_equal(outs[128], outs[256])
