@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         "sync/mega drivers; default off = reference parity",
     )
     p.add_argument(
+        "--mega-packet",
+        type=int,
+        default=0,
+        help="Megakernel packet width (lanes per traversal cursor); "
+        "0 = auto (1024 on TPU, 128 elsewhere)",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory",
@@ -134,6 +141,7 @@ def main(argv=None) -> int:
         driver=args.driver,
         sort_lanes=args.sort_lanes,
         fixed_albedo=args.fixed_albedo,
+        mega_packet=args.mega_packet,
     )
     if args.fixed_albedo and args.driver == "wavefront":
         print("--fixed-albedo requires the sync or mega driver", file=sys.stderr)

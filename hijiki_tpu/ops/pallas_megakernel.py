@@ -51,6 +51,7 @@ M_PI = 3.1415926535897932384626433832795
 PACKET = int(os.environ.get("HIJIKI_MEGA_PACKET", "128"))
 MEGA_PACKET_TPU = 1024
 SUBLANES = 8
+TRACE_COLS = 32
 TILE = SUBLANES * PACKET
 
 KIND_SPHERE = 0.0
@@ -222,7 +223,8 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
 
 
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
-              ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
+              ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+              prefetch=False):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -255,7 +257,10 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
 
     def body(c):
         cur = c["cur"]  # (8,1)
-        rows8 = _fetch_rows8(rows_ref, total_rows, cur)
+        if prefetch:
+            rows8 = c["rows8"]
+        else:
+            rows8 = _fetch_rows8(rows_ref, total_rows, cur)
         # broadcast each used column to (8,128) ONCE — Mosaic re-materializes
         # an (8,1)->(8,128) broadcast at every use site otherwise (~175ns/iter
         # measured), so hoisting these is one of the walker's biggest wins
@@ -267,6 +272,14 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         kind = col(9)
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
+
+        if prefetch:
+            # both possible successors are known the moment nexit is read:
+            # issue their fetches HERE so the loads' latency overlaps the
+            # ~60-op test math below instead of sitting on the serial chain;
+            # the winner is selected at the bottom with one (8,32) select
+            fetch_a = _fetch_rows8(rows_ref, total_rows, cur + 1)
+            fetch_b = _fetch_rows8(rows_ref, total_rows, nexit)
 
         active = cur < end
         is_prim = kind >= f32(0.0)
@@ -351,12 +364,18 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
 
-        nxt = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
+        take_exit = is_prim_s | ~descend
+        nxt = jnp.where(take_exit, nexit, cur + 1)
         if not want_payload:
             # any-hit: a packet whose lanes all resolved can exit early
             done = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
             nxt = jnp.where(done, end, nxt)
         out["cur"] = jnp.where(active, nxt, cur)
+        if prefetch:
+            # inactive/done packets may select a stale row; harmless — their
+            # `active` mask (or the loop cond) discards everything downstream
+            sel = jnp.broadcast_to(take_exit, (SUBLANES, TRACE_COLS))
+            out["rows8"] = jnp.where(sel, fetch_b, fetch_a)
         out["nit"] = c["nit"] + f32(1.0)  # row-visit counter (~2 ops/iter)
         return out
 
@@ -364,6 +383,8 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         cur=base,
         nit=jnp.zeros(ox.shape, f32),
     )
+    if prefetch:
+        init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
     if analytic:
         pre = _analytic_pretest(
             analytic, total_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
@@ -548,6 +569,7 @@ def _bounce_loop(rows_ref, cfg, init):
     tbl_rows = cfg["tbl_rows"]
     total_rows = cfg["total_rows"]
     ntab = cfg["ntab"]
+    prefetch = cfg.get("prefetch", False)
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
@@ -582,6 +604,7 @@ def _bounce_loop(rows_ref, cfg, init):
             s["tmin"],
             tmax,
             want_payload=True,
+            prefetch=prefetch,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -820,6 +843,7 @@ def _bounce_loop(rows_ref, cfg, init):
             jnp.full_like(sdist, f32(2.0 * M_EPS)),
             jnp.where(gate, sdist - f32(M_EPS), f32(-1.0)),
             want_payload=False,
+            prefetch=prefetch,
         )
         unoccluded = sh["hitf"] == 0
 
@@ -1096,6 +1120,7 @@ def render_tiles(
     lane_sort: bool = False,
     interpret: bool = False,
     packet: int = PACKET,
+    prefetch: bool = True,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
     depth(N,), state(N,)). N must be a multiple of 8*packet."""
@@ -1120,6 +1145,7 @@ def render_tiles(
         bbox=scene.bbox_static,
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
+        prefetch=prefetch,
     )
 
     shape = (n_tiles, SUBLANES, packet)
@@ -1236,6 +1262,7 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "lane_sort",
         "interpret",
         "packet",
+        "prefetch",
     ),
 )
 def render_waves(
@@ -1252,6 +1279,7 @@ def render_waves(
     lane_sort: bool = False,
     interpret: bool = False,
     packet: int = PACKET,
+    prefetch: bool = True,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -1299,6 +1327,7 @@ def render_waves(
         bbox=scene.bbox_static,
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
+        prefetch=prefetch,
     )
 
     caps = list(phase_bounces) + [max_bounces]
