@@ -51,6 +51,9 @@ M_PI = 3.1415926535897932384626433832795
 PACKET = int(os.environ.get("HIJIKI_MEGA_PACKET", "128"))
 MEGA_PACKET_TPU = 1024
 SUBLANES = 8
+# HBM-resident tables pad rows to one full lane tile: Mosaic DMA slices
+# must be 128-aligned in the lane dimension
+HBM_ROW_WIDTH = 128
 TRACE_COLS = 32
 TILE = SUBLANES * PACKET
 
@@ -150,6 +153,58 @@ def _fetch_rows8(rows_ref, num_rows, cur):
     )
 
 
+def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, offset=0):
+    """Async-copy one (128-wide padded) trace row per packet from the
+    HBM-resident table into an (8, HBM_ROW_WIDTH) VMEM scratch slot. The
+    slice index is extracted to a scalar BEFORE arithmetic (scalar + offset):
+    vector index arithmetic feeding a DMA descriptor hits Mosaic's
+    unimplemented lane broadcast. Waits re-derive the same descriptors."""
+    for k in range(SUBLANES):
+        pltpu.make_async_copy(
+            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0] + offset, num_rows - 1), 1), :],
+            scratch.at[pl.ds(k, 1), :],
+            sems.at[k],
+        ).start()
+
+
+def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, offset=0):
+    for k in range(SUBLANES):
+        pltpu.make_async_copy(
+            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0] + offset, num_rows - 1), 1), :],
+            scratch.at[pl.ds(k, 1), :],
+            sems.at[k],
+        ).wait()
+
+
+def _fetch_rows8_hbm_sync(rows_ref, num_rows, cur, scratch, sems):
+    """Synchronous start+wait HBM fetch (the winner-resolve loop: iterations
+    are few, latency overlap isn't worth the plumbing)."""
+    _dma_rows8(rows_ref, num_rows, cur, scratch, sems)
+    _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems)
+    return scratch[...]
+
+
+def _with_hbm_bufs(cfg, fn):
+    """Run ``fn(cfg)`` with per-kernel DMA staging buffers in cfg['hbm_bufs']
+    when the trace table lives in HBM (cfg['hbm']): one (8,128) VMEM slot
+    for the walker's pipelined row fetch, one for the resolve loop's
+    synchronous fetch, and their DMA semaphores."""
+    if not cfg.get("hbm"):
+        fn(cfg)
+        return
+
+    def inner(scr_a, sem_a, scr_r, sem_r):
+        fn(dict(cfg, hbm_bufs=(scr_a, sem_a, scr_r, sem_r)))
+
+    pl.run_scoped(
+        inner,
+        pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+        pltpu.SemaphoreType.DMA((SUBLANES,)),
+        pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+        pltpu.SemaphoreType.DMA((SUBLANES,)),
+    )
+
+
 def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
                       want_payload):
     """Test the baked analytic prims (spheres/quads) as compile-time
@@ -224,7 +279,7 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
 
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-              prefetch=False):
+              prefetch=False, hbm_bufs=None):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -255,9 +310,17 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     def cond(c):
         return jnp.any(c["cur"] < end)
 
+    if hbm_bufs is not None:
+        scr_a, sem_a = hbm_bufs[:2]
+
     def body(c):
         cur = c["cur"]  # (8,1)
-        if prefetch:
+        if hbm_bufs is not None:
+            # the copy for this row was started last iteration (for the then
+            # freshly-decided cursor == cur); wait and read it
+            _dma_rows8_wait(rows_ref, total_rows, cur, scr_a, sem_a)
+            rows8 = scr_a[...]
+        elif prefetch:
             rows8 = c["rows8"]
         else:
             rows8 = _fetch_rows8(rows_ref, total_rows, cur)
@@ -273,7 +336,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
 
-        if prefetch:
+        if prefetch and hbm_bufs is None:
             # both possible successors are known the moment nexit is read:
             # issue their fetches HERE so the loads' latency overlaps the
             # ~60-op test math below instead of sitting on the serial chain;
@@ -305,6 +368,21 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         )
         slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
         descend = jnp.any(slab & active & ~is_prim, axis=1, keepdims=True)
+
+        if hbm_bufs is not None:
+            # the cursor decision needs only the slab test, so the next row's
+            # HBM->VMEM copy starts HERE and flies while the expensive
+            # primitive test below runs. The any-hit early exit tests the
+            # PREVIOUS iteration's hit flags (one extra iteration, exact
+            # otherwise).
+            nxt_e = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
+            if not want_payload:
+                done_prev = jnp.all(
+                    (c["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True
+                )
+                nxt_e = jnp.where(done_prev, end, nxt_e)
+            nxt_e = jnp.where(active, nxt_e, cur)
+            _dma_rows8(rows_ref, total_rows, nxt_e, scr_a, sem_a)
 
         # unified primitive test; plane normal v1 x v2 is precomputed per row
         # at scene compile (cols 29-31) — saves 6 ops in the hot loop
@@ -370,8 +448,10 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             # any-hit: a packet whose lanes all resolved can exit early
             done = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
             nxt = jnp.where(done, end, nxt)
-        out["cur"] = jnp.where(active, nxt, cur)
-        if prefetch:
+        out["cur"] = nxt_e if hbm_bufs is not None else jnp.where(
+            active, nxt, cur
+        )
+        if prefetch and hbm_bufs is None:
             # inactive/done packets may select a stale row; harmless — their
             # `active` mask (or the loop cond) discards everything downstream
             sel = jnp.broadcast_to(take_exit, (SUBLANES, TRACE_COLS))
@@ -383,7 +463,9 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         cur=base,
         nit=jnp.zeros(ox.shape, f32),
     )
-    if prefetch:
+    if hbm_bufs is not None:
+        _dma_rows8(rows_ref, total_rows, base, scr_a, sem_a)
+    elif prefetch:
         init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
     if analytic:
         pre = _analytic_pretest(
@@ -398,12 +480,17 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     else:
         init["hitf"] = jnp.zeros(ox.shape, f32)
     final = jax.lax.while_loop(cond, body, init)
+    if hbm_bufs is not None:
+        # drain the final iteration's in-flight copy so the scoped semaphore
+        # ends the kernel at zero
+        _dma_rows8_wait(rows_ref, total_rows, final["cur"], scr_a, sem_a)
     if not want_payload:
         return final
-    return _resolve_winners(rows_ref, total_rows, analytic, final)
+    return _resolve_winners(rows_ref, total_rows, analytic, final,
+                            hbm_bufs=hbm_bufs)
 
 
-def _resolve_winners(rows_ref, num_rows, analytic, walk):
+def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
     """Fill kind/tag/midx/payload for each lane's winning row.
 
     Loops over the DISTINCT winning rows per packet (min-first), fetching each
@@ -433,7 +520,12 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk):
 
     def body(c):
         tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
-        rows8 = _fetch_rows8(rows_ref, num_rows, tgt)
+        if hbm_bufs is not None:
+            rows8 = _fetch_rows8_hbm_sync(
+                rows_ref, num_rows, tgt, hbm_bufs[2], hbm_bufs[3]
+            )
+        else:
+            rows8 = _fetch_rows8(rows_ref, num_rows, tgt)
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], wrow.shape)
         tgt_b = jnp.broadcast_to(tgt, wrow.shape)
         # the < num_rows guard keeps miss lanes (wrow == num_rows) from
@@ -570,6 +662,7 @@ def _bounce_loop(rows_ref, cfg, init):
     total_rows = cfg["total_rows"]
     ntab = cfg["ntab"]
     prefetch = cfg.get("prefetch", False)
+    hbm_bufs = cfg.get("hbm_bufs")
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
@@ -605,6 +698,7 @@ def _bounce_loop(rows_ref, cfg, init):
             tmax,
             want_payload=True,
             prefetch=prefetch,
+            hbm_bufs=hbm_bufs,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -844,6 +938,7 @@ def _bounce_loop(rows_ref, cfg, init):
             jnp.where(gate, sdist - f32(M_EPS), f32(-1.0)),
             want_payload=False,
             prefetch=prefetch,
+            hbm_bufs=hbm_bufs,
         )
         unoccluded = sh["hitf"] == 0
 
@@ -1096,6 +1191,13 @@ def _camera_init(px, py, seed, cfg):
 
 
 def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+    def go(cfg):
+        _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, cfg)
+
+    _with_hbm_bufs(cfg, go)
+
+
+def _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, cfg):
     init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
     s = _bounce_loop(rows_ref, cfg, init)
     out_ref[0] = s["Lr"]
@@ -1106,6 +1208,12 @@ def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, c
     out_ref[5] = s["n3"]
     out_ref[6] = s["depth"]
     state_out_ref[0] = s["state"]
+
+
+def _pad_hbm_rows(rows):
+    """Zero-pad trace rows to HBM_ROW_WIDTH lanes: Mosaic DMA row slices
+    must be 128-aligned in the lane dimension. HBM capacity is ample."""
+    return jnp.pad(rows, ((0, 0), (0, HBM_ROW_WIDTH - rows.shape[1])))
 
 
 def render_tiles(
@@ -1121,6 +1229,7 @@ def render_tiles(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
+    table_in_hbm: bool = False,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
     depth(N,), state(N,)). N must be a multiple of 8*packet."""
@@ -1146,14 +1255,19 @@ def render_tiles(
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
         prefetch=prefetch,
+        hbm=table_in_hbm,
     )
+    if table_in_hbm:
+        rows = _pad_hbm_rows(rows)
 
     shape = (n_tiles, SUBLANES, packet)
     out, state = pl.pallas_call(
         functools.partial(_megakernel, cfg=cfg),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if table_in_hbm else pltpu.VMEM
+            ),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1210,21 +1324,31 @@ def _read_state(st_ref, rng_ref):
 
 def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cfg):
     """Camera launch: raygen + bounce up to cfg['max_bounces'], emit state."""
-    init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
-    s = _bounce_loop(rows_ref, cfg, init)
-    _write_state(st_out, rng_out, s)
+
+    def go(cfg):
+        init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
+        s = _bounce_loop(rows_ref, cfg, init)
+        _write_state(st_out, rng_out, s)
+
+    _with_hbm_bufs(cfg, go)
 
 
 def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
     """Resume launch: continue paths from a packed state."""
-    init = _read_state(st_in, rng_in)
-    s = _bounce_loop(rows_ref, cfg, init)
-    _write_state(st_out, rng_out, s)
+
+    def go(cfg):
+        init = _read_state(st_in, rng_in)
+        s = _bounce_loop(rows_ref, cfg, init)
+        _write_state(st_out, rng_out, s)
+
+    _with_hbm_bufs(cfg, go)
 
 
 def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
     packet = ins[0].shape[-1]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY if cfg.get("hbm") else pltpu.VMEM)
+    ]
     for a in ins:
         nch = a.shape[1] if a.ndim == 4 else None
         if a.ndim == 4:
@@ -1263,6 +1387,7 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "interpret",
         "packet",
         "prefetch",
+        "table_in_hbm",
     ),
 )
 def render_waves(
@@ -1280,6 +1405,7 @@ def render_waves(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
+    table_in_hbm: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -1328,7 +1454,10 @@ def render_waves(
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
         prefetch=prefetch,
+        hbm=table_in_hbm,
     )
+    if table_in_hbm:
+        rows = _pad_hbm_rows(rows)
 
     caps = list(phase_bounces) + [max_bounces]
     caps = [min(c, max_bounces) for c in caps]

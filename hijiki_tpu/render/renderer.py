@@ -88,6 +88,7 @@ class RenderConfig:
         "traversal",
         "fixed_albedo",
         "mega_packet",
+        "mega_table_hbm",
     ),
 )
 def render_sweep(
@@ -109,6 +110,7 @@ def render_sweep(
     traversal: str = "",
     fixed_albedo: bool = False,
     mega_packet: int = 128,
+    mega_table_hbm: bool = False,
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
     f32 = jnp.float32
@@ -136,6 +138,7 @@ def render_sweep(
             max_bounces=max_bounces,
             lane_sort=sort_lanes,
             packet=mega_packet,
+            table_in_hbm=mega_table_hbm,
         )
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)
@@ -228,9 +231,9 @@ def render_sweep(
 
 
 # the megakernel stages its trace table in VMEM; beyond this size the Mosaic
-# compile fails (measured on v5e: 19 MB compiles, 48 MB does not), so big
-# scenes fall back to the XLA sync driver (HBM-resident tables)
-MEGA_TABLE_LIMIT_BYTES = 24 << 20
+# compile fails (measured on v5e: 19 MB compiles, 48 MB does not), and the
+# renderer streams the table from HBM instead (the walker's DMA mode)
+from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_BYTES
 
 
 def resolve_mega_packet(requested: int) -> int:
@@ -253,18 +256,16 @@ def resolve_mega_packet(requested: int) -> int:
 
 class Renderer:
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
+        self._mega_table_hbm = False
         if (
             config.driver == "mega"
             and compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES
         ):
-            import warnings
-
-            warnings.warn(
-                f"scene's trace table "
-                f"({compiled.trace_rows_mega.nbytes >> 20} MB) exceeds the "
-                f"megakernel's VMEM budget; falling back to the sync driver"
-            )
-            config = dataclasses.replace(config, driver="sync")
+            # keep the Pallas fast path: leave the table in HBM and stream
+            # rows into VMEM with double-buffered async copies (the walker's
+            # dual-successor DMA mode) instead of dropping to the XLA sync
+            # driver
+            self._mega_table_hbm = True
         self.scene = scene_to_device(compiled)
         self.config = config
         self.scheduler = BlockScheduler(
@@ -291,6 +292,7 @@ class Renderer:
             traversal=c.traversal,
             fixed_albedo=c.fixed_albedo,
             mega_packet=resolve_mega_packet(c.mega_packet),
+            mega_table_hbm=self._mega_table_hbm,
         )
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):

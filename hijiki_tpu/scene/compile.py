@@ -261,9 +261,12 @@ def build_trace_rows(
 
 
 # Byte budget for the megakernel's VMEM-resident table set. 8 octant tables
-# multiply the table size; past this we fall back to a single table (and the
-# renderer's own VMEM limit may then route huge scenes to the sync driver).
+# multiply the table size; past this we fall back to a single table.
 OCTANT_TABLE_BUDGET_BYTES = 12 << 20
+
+# Largest table the megakernel can stage in VMEM (measured on v5e; the
+# renderer streams bigger tables from HBM via the walker's DMA mode).
+MEGA_VMEM_TABLE_BYTES = 24 << 20
 
 
 def build_octant_trace_tables(bvh, prim_args) -> np.ndarray:
@@ -449,10 +452,12 @@ def compile_scene(
     def want_octants(base_rows: int) -> bool:
         if octant_tables == "never":
             return False
-        sz = 8 * base_rows * TRACE_ROW_WIDTH * 4
         if octant_tables == "always":
             return True
-        return sz <= OCTANT_TABLE_BUDGET_BYTES
+        base = base_rows * TRACE_ROW_WIDTH * 4
+        # 8 copies must fit the VMEM budget — except for tables that exceed
+        # VMEM outright: those are streamed from HBM, where 8x is free
+        return 8 * base <= OCTANT_TABLE_BUDGET_BYTES or base > MEGA_VMEM_TABLE_BYTES
 
     if 0 < NA <= 8:
         analytic = []

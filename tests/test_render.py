@@ -122,10 +122,9 @@ def test_fixed_albedo_mode(cbox_compiled):
 
 
 def test_mega_table_limit_fallback():
-    """Scenes whose trace table exceeds the megakernel's VMEM budget fall
-    back to the sync driver instead of failing the device compile."""
-    import warnings
-
+    """Scenes whose trace table exceeds the megakernel's VMEM budget keep
+    the mega driver but stream the table from HBM (the walker's DMA mode)
+    instead of failing the device compile."""
     import numpy as np
 
     from hijiki_tpu.render import renderer as rmod
@@ -150,13 +149,30 @@ def test_mega_table_limit_fallback():
     old = rmod.MEGA_TABLE_LIMIT_BYTES
     rmod.MEGA_TABLE_LIMIT_BYTES = 1024  # force the limit
     try:
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            r = Renderer(cs, RenderConfig(width=64, height=64, spp=1, driver="mega"))
-        assert r.config.driver == "sync"
-        assert any("VMEM budget" in str(x.message) for x in w)
+        r = Renderer(cs, RenderConfig(width=64, height=64, spp=1, driver="mega"))
+        assert r.config.driver == "mega"
+        assert r._mega_table_hbm
     finally:
         rmod.MEGA_TABLE_LIMIT_BYTES = old
+
+    # the HBM table path produces the exact VMEM-path image (interpret)
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import scene_to_device
+
+    csd = scene_to_device(cs)
+    W = H = 32
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    px = jnp.asarray((xx + 0.5).reshape(-1))
+    py = jnp.asarray((yy + 0.5).reshape(-1))
+    seeds = jnp.asarray(np.arange(H * W, dtype=np.uint32) * np.uint32(2654435761))
+    outs = {}
+    for hbm in (False, True):
+        t, *_ = render_tiles(csd, px, py, seeds, width=W, height=H,
+                             max_bounces=4, interpret=True, table_in_hbm=hbm)
+        outs[hbm] = np.asarray(t)
+    np.testing.assert_array_equal(outs[False], outs[True])
 
 
 def test_fixed_albedo_mega_matches_sync(cbox_compiled):

@@ -16,6 +16,9 @@ import time
 
 import numpy as np
 
+from hijiki_tpu.utils.tpuenv import configure_tpu_env
+
+configure_tpu_env()
 from hijiki_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()

@@ -81,27 +81,30 @@ def main():
             file=sys.stderr,
         )
         csd = scene_to_device(cs)
+        from hijiki_tpu.render.renderer import MEGA_TABLE_LIMIT_BYTES
+
+        hbm = cs.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES
         try:
             t0 = time.monotonic()
             t, *_ = render_waves(
                 csd, px, py, seeds, width=W, height=H, max_bounces=16,
-                packet=MEGA_PACKET_TPU,
+                packet=MEGA_PACKET_TPU, table_in_hbm=hbm,
             )
             s = float(jnp.sum(t))
             warm = time.monotonic() - t0
             t0 = time.monotonic()
             t, *_ = render_waves(
                 csd, px, py, seeds, width=W, height=H, max_bounces=16,
-                packet=MEGA_PACKET_TPU,
+                packet=MEGA_PACKET_TPU, table_in_hbm=hbm,
             )
             s = float(jnp.sum(t))
             dt = time.monotonic() - t0
             print(
-                f"n={n} ({mb} MB): OK  warm {warm:.1f}s  run {dt*1e3:.0f} ms  "
-                f"sum={s:.1f}"
+                f"n={n} ({mb} MB, hbm={hbm}): OK  warm {warm:.1f}s  "
+                f"run {dt*1e3:.0f} ms  sum={s:.1f}"
             )
         except Exception as e:
-            print(f"n={n} ({mb} MB): FAIL {type(e).__name__}: {str(e)[:200]}")
+            print(f"n={n} ({mb} MB, hbm={hbm}): FAIL {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":
