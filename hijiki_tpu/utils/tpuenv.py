@@ -8,9 +8,9 @@ import os
 
 # The megakernel's wide packets (ops/pallas_megakernel.MEGA_PACKET_TPU) need
 # more Mosaic scoped VMEM than the default 16 MiB at large grids: the v5e
-# fused render_sweep at 1024^2 measures a 37 MiB high-water mark. 48 MiB is
+# fused render_sweep at 1024^2 measures a 37 MiB high-water mark. 64 MiB is
 # well within the chip's 128 MiB physical VMEM and measured safe end-to-end.
-SCOPED_VMEM_KIB = 48 * 1024
+SCOPED_VMEM_KIB = 64 * 1024
 
 
 def configure_tpu_env(scoped_vmem_kib: int = SCOPED_VMEM_KIB) -> None:
