@@ -308,7 +308,10 @@ def compile_scene(
         else:
             raise TypeError(f"unknown shape {shape!r}")
 
-    S, Q, T = len(spheres), len(quads), len(tris)
+    bulk_tris = np.ascontiguousarray(scene.bulk_tris, dtype=np.int32).reshape(-1, 3)
+    bulk_mats = np.ascontiguousarray(scene.bulk_tri_mats, dtype=np.int64).reshape(-1)
+    NB = bulk_tris.shape[0]
+    S, Q, T = len(spheres), len(quads), len(tris) + NB
     num_shapes = S + Q + T
     if num_shapes == 0:
         raise ValueError("scene has no shapes")
@@ -340,12 +343,19 @@ def compile_scene(
         else:
             raise TypeError(f"unknown material {mat!r}")
 
-    # Per-shape handles in global shape order (src/main.rs:278-287).
-    shape_mats = np.array(
-        [handles[m] for _, m in spheres]
-        + [handles[m] for _, m in quads]
-        + [handles[m] for _, m in tris],
-        dtype=np.uint32,
+    # Per-shape handles in global shape order (src/main.rs:278-287);
+    # bulk triangles follow the listed Triangle objects.
+    handles_np = np.asarray(handles, dtype=np.uint32).reshape(-1)
+    shape_mats = np.concatenate(
+        [
+            np.array(
+                [handles[m] for _, m in spheres]
+                + [handles[m] for _, m in quads]
+                + [handles[m] for _, m in tris],
+                dtype=np.uint32,
+            ).reshape(-1),
+            handles_np[bulk_mats] if NB else np.zeros(0, np.uint32),
+        ]
     ).reshape(num_shapes)
 
     # --- emitter table (src/main.rs:289-307) ---
@@ -361,7 +371,12 @@ def compile_scene(
     quad_o = np.array([q.origin for q, _ in quads], dtype=np.float32).reshape(Q, 3)
     quad_e1 = np.array([q.edge1 for q, _ in quads], dtype=np.float32).reshape(Q, 3)
     quad_e2 = np.array([q.edge2 for q, _ in quads], dtype=np.float32).reshape(Q, 3)
-    tri_idx = np.array([t.indices for t, _ in tris], dtype=np.int32).reshape(T, 3)
+    tri_idx = np.concatenate(
+        [
+            np.array([t.indices for t, _ in tris], dtype=np.int32).reshape(-1, 3),
+            bulk_tris,
+        ]
+    ).reshape(T, 3)
 
     # --- unified primitive records in global shape order ---
     a = np.zeros((num_shapes, 3), dtype=np.float32)

@@ -138,6 +138,16 @@ class Scene:
         default_factory=lambda: np.zeros((0, 3), dtype=np.float32)
     )
     uvs: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), dtype=np.float32))
+    # Bulk triangle soup (native loaders / generators): equivalent to
+    # appending one Triangle object per row AFTER every listed Triangle, but
+    # without per-shape Python objects — the compiler consumes these arrays
+    # directly (large scenes: millions of Python objects would dominate).
+    bulk_tris: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 3), dtype=np.int32)
+    )
+    bulk_tri_mats: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), dtype=np.int32)
+    )
 
     def add_material(self, mat: Material) -> int:
         self.materials.append(mat)
@@ -145,6 +155,29 @@ class Scene:
 
     def add_object(self, shape: Shape, material_idx: int) -> None:
         self.objects.append((shape, material_idx))
+
+    def triangles(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All triangles in global order — listed Triangle objects first,
+        then bulk — as ((T,3) i32 indices, (T,) i32 material indices)."""
+        listed = [
+            (s.indices, m) for s, m in self.objects if isinstance(s, Triangle)
+        ]
+        tri = np.array([t for t, _ in listed], np.int32).reshape(-1, 3)
+        mat = np.array([m for _, m in listed], np.int32)
+        return (
+            np.concatenate([tri, self.bulk_tris]),
+            np.concatenate([mat, self.bulk_tri_mats]),
+        )
+
+    def add_triangles_bulk(self, tris: np.ndarray, material_idx: np.ndarray) -> None:
+        """Append a (T,3) index array of triangles with per-triangle material
+        indices, without creating per-triangle Python objects."""
+        tris = np.ascontiguousarray(tris, dtype=np.int32).reshape(-1, 3)
+        mats = np.ascontiguousarray(material_idx, dtype=np.int32).reshape(-1)
+        if mats.shape[0] != tris.shape[0]:
+            raise ValueError("material index count must match triangle count")
+        self.bulk_tris = np.concatenate([self.bulk_tris, tris])
+        self.bulk_tri_mats = np.concatenate([self.bulk_tri_mats, mats])
 
     def put_cbox_spheres(self) -> None:
         """Inject the reference's hardcoded mirror + checkerboard spheres

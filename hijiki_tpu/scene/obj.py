@@ -86,8 +86,48 @@ def _dispatch_material(m: MtlMaterial):
     return Diffuse(m.kd)
 
 
-def load_obj_scene(path: str) -> Scene:
-    """Parse an OBJ (+MTL) file into a Scene, reference-conformant."""
+def load_obj_scene(path: str, backend: str = "auto") -> Scene:
+    """Parse an OBJ (+MTL) file into a Scene, reference-conformant.
+
+    backend: "auto" uses the native C++ parser (scene/obj_parser.cpp, the
+    rebuild's answer to the reference's tobj) when compilable, falling back
+    to this module's pure-Python parser; "python"/"native" force one.
+    Both produce identical Scenes (tests assert array equality); the native
+    path returns triangles as bulk arrays (Scene.add_triangles_bulk), which
+    also skips per-triangle Python objects — at 400k faces the native path
+    is the difference between ~1 s and ~1 min.
+    """
+    if backend in ("auto", "native"):
+        scene = _load_obj_scene_native(path)
+        if scene is not None:
+            return scene
+        if backend == "native":
+            raise RuntimeError("native OBJ parser unavailable (no g++?)")
+    return _load_obj_scene_python(path)
+
+
+def _load_obj_scene_native(path: str) -> Optional[Scene]:
+    from hijiki_tpu.scene.obj_native import parse_obj_native
+
+    parsed = parse_obj_native(path)
+    if parsed is None:
+        return None
+    positions, normals, uvs, tris, tri_mat, mats = parsed
+    scene = Scene(camera=Camera.cbox_default())
+    for name, kd, ke in mats:
+        m = MtlMaterial(name)
+        m.kd = kd
+        m.ke = ke
+        scene.add_material(_dispatch_material(m))
+    scene.add_triangles_bulk(tris, tri_mat)
+    scene.positions = positions
+    scene.normals = normals
+    scene.uvs = uvs
+    return scene
+
+
+def _load_obj_scene_python(path: str) -> Scene:
+    """The pure-Python reference parser."""
     positions_raw: List[Tuple[float, float, float]] = []
     normals_raw: List[Tuple[float, float, float]] = []
     uvs_raw: List[Tuple[float, float]] = []

@@ -28,7 +28,8 @@ def test_cbox_materials(cbox_scene):
 
 def test_cbox_geometry(cbox_scene):
     # 6320 tri faces + 6 quad faces fan-triangulated = 6332 triangles
-    assert len(cbox_scene.objects) == 6332
+    tris, tri_mats = cbox_scene.triangles()
+    assert tris.shape == (6332, 3)
     assert cbox_scene.positions.shape == (3668, 3)
     assert cbox_scene.normals.shape == (3668, 3)
     cam = cbox_scene.camera
@@ -192,12 +193,13 @@ f 1 3 4
     p = tmp_path / "smooth.obj"
     p.write_text(obj)
     scene = load_obj_scene(str(p))
-    assert len(scene.objects) == 2
+    tris, _ = scene.triangles()
+    assert tris.shape[0] == 2
     n = scene.normals
     assert np.allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
     # shared vertices (v1, v3) blend both faces: not equal to either face normal
-    tri0 = scene.objects[0][0].indices
-    tri1 = scene.objects[1][0].indices
+    tri0 = tuple(tris[0])
+    tri1 = tuple(tris[1])
     shared = set(tri0) & set(tri1)
     assert len(shared) == 2
     f0 = np.cross(
@@ -213,7 +215,8 @@ f 1 3 4
     p2 = tmp_path / "flat.obj"
     p2.write_text(obj.replace("s 1\n", ""))
     sc2 = load_obj_scene(str(p2))
-    t0 = sc2.objects[0][0].indices
-    assert len(set(t0) & set(sc2.objects[1][0].indices)) == 0
+    tris2, _ = sc2.triangles()
+    t0 = tuple(tris2[0])
+    assert len(set(t0) & set(tuple(tris2[1]))) == 0
     for iv in t0:
         assert np.allclose(sc2.normals[iv], f0, atol=1e-6)
