@@ -245,6 +245,7 @@ def make_sharded_mega_sweep(
     stddev: float,
     interpret: bool = False,
     packet: int = 128,
+    table_in_hbm: bool = False,
 ):
     """Sharded sweep for the Pallas megakernel driver.
 
@@ -283,6 +284,7 @@ def make_sharded_mega_sweep(
             max_bounces=max_bounces,
             interpret=interpret,
             packet=packet,
+            table_in_hbm=table_in_hbm,
         )
         idx = jax.lax.axis_index(axis)
         row0 = idx * band
@@ -335,7 +337,10 @@ class MegaMultiChipRenderer(Renderer):
         self.mesh = Mesh(np.array(devices), ("d",))
         self.n_dev = len(devices)
         c = config
-        from hijiki_tpu.render.renderer import resolve_mega_packet
+        from hijiki_tpu.render.renderer import (
+            MEGA_TABLE_LIMIT_BYTES,
+            resolve_mega_packet,
+        )
 
         self._sweep_fn = make_sharded_mega_sweep(
             self.mesh,
@@ -347,6 +352,7 @@ class MegaMultiChipRenderer(Renderer):
             stddev=c.reconstruction_stddev,
             interpret=interpret,
             packet=resolve_mega_packet(c.mega_packet),
+            table_in_hbm=compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
         )
 
     def render(self, progress=None):
