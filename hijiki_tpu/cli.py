@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         "sync/mega drivers; default off = reference parity",
     )
     p.add_argument(
+        "--live-preview",
+        type=int,
+        default=0,
+        help="Redraw a live ANSI preview in the terminal every N sweeps "
+        "(the reference's preview window, headless edition); 0 = off",
+    )
+    p.add_argument(
         "--mega-packet",
         type=int,
         default=0,
@@ -142,6 +149,7 @@ def main(argv=None) -> int:
         sort_lanes=args.sort_lanes,
         fixed_albedo=args.fixed_albedo,
         mega_packet=args.mega_packet,
+        live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":
         print("--fixed-albedo requires the sync or mega driver", file=sys.stderr)

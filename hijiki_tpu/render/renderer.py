@@ -65,6 +65,9 @@ class RenderConfig:
     # never assigns it — render.glsl:84-85), activating the denoiser's
     # albedo feature term. sync driver only; off = reference parity.
     fixed_albedo: bool = False
+    # live terminal preview (ANSI half-blocks; the winit window analog
+    # for headless hosts): redraw every N sweeps, 0 = off
+    live_preview: int = 0
     # mega driver packet width (lanes per traversal cursor); 0 = auto
     # (1024 on TPU — measured 1.59x over 128 — else 128). Estimator is
     # width-independent: per-lane RNG/radiance are identical for any width.
@@ -320,6 +323,11 @@ class Renderer:
                 progress(self.sweeps_done, c.spp)
             if c.preview_interval and self.sweeps_done % c.preview_interval == 0:
                 self.save_png(c.preview_path)
+            if c.live_preview and self.sweeps_done % c.live_preview == 0:
+                self._term_preview().update(
+                    self.image(),
+                    f"{self.sweeps_done}/{c.spp} sweeps",
+                )
             sweep_marks.append(time.monotonic() - start)
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
@@ -358,6 +366,13 @@ class Renderer:
                     rows * c.spp / elapsed / 1e6 if elapsed > 0 else 0.0
                 )
         return self.metrics
+
+    def _term_preview(self):
+        if not hasattr(self, "_term_preview_obj"):
+            from hijiki_tpu.utils.term_preview import TerminalPreview
+
+            self._term_preview_obj = TerminalPreview()
+        return self._term_preview_obj
 
     def image(self) -> np.ndarray:
         """Normalized (H,W,3) float RGB."""

@@ -50,3 +50,32 @@ def test_png_and_tonemap(tmp_path):
     from PIL import Image
 
     assert Image.open(path).size == (4, 4)
+
+
+def test_terminal_preview_ansi():
+    """Live terminal preview: half-block ANSI frames, in-place redraws,
+    disabled cleanly off-tty (utils/term_preview.py — the winit live-view
+    analog for headless hosts)."""
+    import io
+
+    import numpy as np
+
+    from hijiki_tpu.utils.term_preview import TerminalPreview, render_ansi
+
+    img = np.zeros((32, 48, 3), np.float32)
+    img[:16] = [1.0, 0.0, 0.0]
+    s = render_ansi(img, max_cols=24, max_rows=8)
+    assert "▀" in s and "\x1b[38;2;255;0;0m" in s
+    assert s.count("\n") + 1 <= 8
+
+    buf = io.StringIO()
+    tp = TerminalPreview(stream=buf, enabled=True)
+    tp.update(img, status="1/2 sweeps")
+    first = buf.getvalue()
+    assert "1/2 sweeps" in first and "▀" in first
+    tp.update(img, status="2/2 sweeps")
+    # second frame rewinds the cursor instead of appending a new image
+    assert "\x1b[" + str(first.count("\n")) + "F" in buf.getvalue()
+
+    off = TerminalPreview(stream=io.StringIO(), enabled=False)
+    off.update(img)  # no-op
