@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +44,11 @@ M_PI = 3.1415926535897932384626433832795
 # chain, ~6 cycles/op at width 128) at the price of larger per-packet row
 # unions. Measured on cbox 512^2 (v5e): 256 -> 1.27x, 512 -> 1.45x,
 # 1024 -> 1.59x end-to-end vs 128; 2048 exceeds the 16 MB VMEM scoped limit.
-# The renderer picks MEGA_PACKET_TPU on TPU devices; kernels are
-# shape-generic, this module constant is only the default (env override for
-# experiments).
-PACKET = int(os.environ.get("HIJIKI_MEGA_PACKET", "128"))
+# The renderer picks MEGA_PACKET_TPU on TPU devices (the single
+# interpreter of the HIJIKI_MEGA_PACKET override lives in
+# render.renderer.resolve_mega_packet); kernels are shape-generic and this
+# module constant is only the plain one-VREG default.
+PACKET = 128
 MEGA_PACKET_TPU = 1024
 SUBLANES = 8
 # HBM-resident tables pad rows to one full lane tile: Mosaic DMA slices
@@ -153,24 +153,25 @@ def _fetch_rows8(rows_ref, num_rows, cur):
     )
 
 
-def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, offset=0):
+def _dma_rows8(rows_ref, num_rows, cur, scratch, sems):
     """Async-copy one (128-wide padded) trace row per packet from the
     HBM-resident table into an (8, HBM_ROW_WIDTH) VMEM scratch slot. The
-    slice index is extracted to a scalar BEFORE arithmetic (scalar + offset):
-    vector index arithmetic feeding a DMA descriptor hits Mosaic's
-    unimplemented lane broadcast. Waits re-derive the same descriptors."""
+    slice index must be a scalar extracted straight from a loop-carried
+    (8,1) cursor: vector index arithmetic feeding a DMA descriptor hits
+    Mosaic's unimplemented lane broadcast, and extraction from computed
+    selects hits invalid relayouts. Waits re-derive the same descriptors."""
     for k in range(SUBLANES):
         pltpu.make_async_copy(
-            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0] + offset, num_rows - 1), 1), :],
+            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
             scratch.at[pl.ds(k, 1), :],
             sems.at[k],
         ).start()
 
 
-def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, offset=0):
+def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems):
     for k in range(SUBLANES):
         pltpu.make_async_copy(
-            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0] + offset, num_rows - 1), 1), :],
+            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
             scratch.at[pl.ds(k, 1), :],
             sems.at[k],
         ).wait()

@@ -67,6 +67,7 @@ class MultiHostRenderer(Renderer):
         self.host_id = jax.process_index() if host_id is None else host_id
         self.sweep_ids = host_sweeps(config.spp, self.host_id, self.num_hosts)
         self._done = 0
+        self.sweeps_done = 0  # mirrors _done (checkpoint compatibility)
         # BlockScheduler draws are call-order-stateful (the reference seeds
         # sequentially from OS entropy, src/main.rs:643,675); every host must
         # therefore draw the FULL schedule in order and keep only its share —
@@ -94,6 +95,7 @@ class MultiHostRenderer(Renderer):
             self._last_stats = stats
             self.film = self.film + delta
             self._done += 1
+            self.sweeps_done = self._done
             if progress is not None:
                 progress(self._done, len(self.sweep_ids))
         self.film.block_until_ready()
@@ -108,6 +110,16 @@ class MultiHostRenderer(Renderer):
             sweeps=len(self.sweep_ids),
         )
         return self.metrics
+
+    @classmethod
+    def resume_checkpoint(cls, compiled, path, config=None):
+        """Resume a checkpointed partial render. The checkpoint stores this
+        host's completed-sweep COUNT; resuming with a different host_id or
+        num_hosts than the original run would change which sweeps the count
+        refers to, so keep them identical across the restart."""
+        r = super().resume_checkpoint(compiled, path, config)
+        r._done = r.sweeps_done
+        return r
 
     def merged_film(self) -> jnp.ndarray:
         """The full-estimate film: sum of every host's partial film.

@@ -239,12 +239,18 @@ def render_sweep(
 from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_BYTES
 
 
-def resolve_mega_packet(requested: int) -> int:
+def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     """0 = auto: wide packets on TPU (ops/pallas_megakernel.MEGA_PACKET_TPU),
     one-VREG 128 elsewhere (CPU interpret mode gains nothing from width).
-    HIJIKI_MEGA_PACKET overrides the auto choice (experiments)."""
+    HIJIKI_MEGA_PACKET overrides the auto choice (experiments). The in-kernel
+    bitonic lane sort only supports 128-lane packets, so --sort-lanes pins
+    the width. Wide packets need the raised Mosaic scoped-VMEM limit, so the
+    auto path also applies utils/tpuenv (idempotent; the remote-compile stack
+    forwards the flag per compile, so resolve time is early enough)."""
     if requested:
         return requested
+    if sort_lanes:
+        return 128
     import os
 
     env = os.environ.get("HIJIKI_MEGA_PACKET")
@@ -252,9 +258,13 @@ def resolve_mega_packet(requested: int) -> int:
         return int(env)
     import jax
 
+    if jax.devices()[0].platform == "cpu":
+        return 128
     from hijiki_tpu.ops.pallas_megakernel import MEGA_PACKET_TPU
+    from hijiki_tpu.utils.tpuenv import configure_tpu_env
 
-    return MEGA_PACKET_TPU if jax.devices()[0].platform != "cpu" else 128
+    configure_tpu_env()
+    return MEGA_PACKET_TPU
 
 
 class Renderer:
@@ -294,7 +304,7 @@ class Renderer:
             sort_lanes=c.sort_lanes,
             traversal=c.traversal,
             fixed_albedo=c.fixed_albedo,
-            mega_packet=resolve_mega_packet(c.mega_packet),
+            mega_packet=resolve_mega_packet(c.mega_packet, c.sort_lanes),
             mega_table_hbm=self._mega_table_hbm,
         )
 

@@ -148,14 +148,21 @@ void* hijiki_obj_parse(const char* path_c) {
     int n = split(line, toks, 512);
     if (!n || toks[0][0] == '#') continue;
     const char* key = toks[0];
+    // (float)strtod, not strtof: the Python parser parses to f64 then
+    // narrows to f32 via numpy, and double rounding can differ from a
+    // direct correctly-rounded f32 parse by 1 ULP on boundary inputs —
+    // backends must match bitwise
     if (!strcmp(key, "v") && n > 3) {
-      raw_pos.push_back({strtof(toks[1], nullptr), strtof(toks[2], nullptr),
-                         strtof(toks[3], nullptr)});
+      raw_pos.push_back({(float)strtod(toks[1], nullptr),
+                         (float)strtod(toks[2], nullptr),
+                         (float)strtod(toks[3], nullptr)});
     } else if (!strcmp(key, "vn") && n > 3) {
-      raw_nrm.push_back({strtof(toks[1], nullptr), strtof(toks[2], nullptr),
-                         strtof(toks[3], nullptr)});
+      raw_nrm.push_back({(float)strtod(toks[1], nullptr),
+                         (float)strtod(toks[2], nullptr),
+                         (float)strtod(toks[3], nullptr)});
     } else if (!strcmp(key, "vt") && n > 2) {
-      raw_uv.push_back({strtof(toks[1], nullptr), strtof(toks[2], nullptr)});
+      raw_uv.push_back({(float)strtod(toks[1], nullptr),
+                        (float)strtod(toks[2], nullptr)});
     } else if (!strcmp(key, "o") || !strcmp(key, "g")) {
       triple_cache.clear();
     } else if (!strcmp(key, "mtllib") && n > 1) {

@@ -10,6 +10,9 @@ import time
 
 import numpy as np
 
+from hijiki_tpu.utils.tpuenv import configure_tpu_env
+
+configure_tpu_env()
 from hijiki_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -17,7 +20,7 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-from hijiki_tpu.ops.pallas_megakernel import render_waves
+from hijiki_tpu.ops.pallas_megakernel import MEGA_PACKET_TPU, render_waves
 from hijiki_tpu.scene.compile import compile_scene, scene_to_device
 from hijiki_tpu.scene.obj import load_obj_scene
 
@@ -49,10 +52,11 @@ def main():
 
     def run(cs):
         t, n, dep, st, ovf, bounces, rows, alb = render_waves(
-            cs, px, py, seeds, width=W, height=H, max_bounces=1000
+            cs, px, py, seeds, width=W, height=H, max_bounces=1000,
+            packet=MEGA_PACKET_TPU,
         )
         tot = float(jnp.sum(t))  # host materialization = sync
-        return tot, float(jnp.sum(rows)) / 1024.0
+        return tot, float(jnp.sum(rows)) / (8.0 * MEGA_PACKET_TPU)
 
     for name, cs in variants.items():
         t0 = time.monotonic()
