@@ -112,13 +112,17 @@ class MultiHostRenderer(Renderer):
         return self.metrics
 
     @classmethod
-    def resume_checkpoint(cls, compiled, path, config=None):
+    def resume_checkpoint(
+        cls, compiled, path, config=None, host_id=None, num_hosts=None
+    ):
         """Resume a checkpointed partial render. The checkpoint stores this
         host's completed-sweep COUNT; resuming with a different host_id or
         num_hosts than the original run would change which sweeps the count
-        refers to, so keep them identical across the restart."""
-        r = super().resume_checkpoint(compiled, path, config)
-        r._done = r.sweeps_done
+        refers to, so pass the same split as the original run."""
+        base = Renderer.resume_checkpoint(compiled, path, config)
+        r = cls(compiled, base.config, host_id=host_id, num_hosts=num_hosts)
+        r.film = base.film
+        r._done = r.sweeps_done = base.sweeps_done
         return r
 
     def merged_film(self) -> jnp.ndarray:

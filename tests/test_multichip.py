@@ -124,3 +124,33 @@ def test_multihost_sweep_sharding_matches_single(cbox_small):
     np.testing.assert_array_equal(
         np.asarray(hosts[0].merged_film()), np.asarray(hosts[0].film)
     )
+
+
+def test_multihost_checkpoint_resume(cbox_small, tmp_path):
+    """Resuming a checkpointed multi-host partial render continues at this
+    host's completed-sweep count instead of re-tracing (review finding)."""
+    import dataclasses
+
+    from hijiki_tpu.parallel.multihost import MultiHostRenderer
+
+    cfg = RenderConfig(
+        width=64, height=64, spp=6, block_size=64, seed=3, max_bounces=4
+    )
+    full = MultiHostRenderer(cbox_small, cfg, host_id=1, num_hosts=2)
+    full.render()
+
+    # render only the first of host 1's three sweeps, checkpoint, resume
+    part = MultiHostRenderer(
+        cbox_small, dataclasses.replace(cfg, spp=2), host_id=1, num_hosts=2
+    )
+    part.render()
+    assert part.sweeps_done == 1
+    ck = str(tmp_path / "mh.npz")
+    part.config = cfg
+    part.save_checkpoint(ck)
+
+    resumed = MultiHostRenderer.resume_checkpoint(
+        cbox_small, ck, cfg, host_id=1, num_hosts=2
+    )
+    resumed.render()
+    np.testing.assert_array_equal(np.asarray(resumed.film), np.asarray(full.film))
