@@ -305,3 +305,47 @@ def test_packet_width_invariance(setup):
         )
         outs[packet] = np.asarray(t)
     np.testing.assert_array_equal(outs[128], outs[256])
+
+
+def test_all_analytic_scene_inert_table(cbox_compiled):
+    """All-analytic scenes with <= 8 prims compile to a single inert trace
+    row (every prim baked as immediates); the megakernel must agree with the
+    XLA integrator on them (interpret mode)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.camera import camera_rays
+    from hijiki_tpu.ops.integrate import integrate
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.ops.rng import seed_rng
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.model import (
+        Camera, Diffuse, Emissive, Quad, Scene, Sphere,
+    )
+
+    scene = Scene(camera=Camera.cbox_default())
+    w = scene.add_material(Diffuse((0.6, 0.6, 0.6)))
+    l = scene.add_material(Emissive((12.0,) * 3))
+    scene.add_object(Sphere((0.0, 0.8, 0.0), 0.5), w)
+    scene.add_object(Quad((-2, 0, -2), (4, 0, 0), (0, 0, 4)), w)  # floor
+    scene.add_object(Quad((-0.6, 2.5, -0.6), (1.2, 0, 0), (0, 0, 1.2)), l)
+    cs = scene_to_device(compile_scene(scene))
+    assert cs.mega_tbl_rows == 1  # the inert interior row
+    W, H = 64, 16
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.5).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.5).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(W * H) * 2654435761 % (1 << 32)).astype(np.uint32))
+    t, n, dep, st = render_tiles(cs, px, py, seeds, width=W, height=H,
+                                 max_bounces=6, interpret=True)
+    pxy = jnp.stack([px, py], -1)
+    o, d, tmin, tmax = camera_rays(cs.cam_position, cs.cam_rotation, cs.cam_fov,
+                                   pxy, jnp.asarray([W, H], jnp.float32))
+    ref = integrate(cs, o, d, tmin, tmax, seed_rng(seeds), max_bounces=6,
+                    traversal="rows")
+    a, b = np.asarray(t), np.asarray(ref.total)
+    # the two backends visit prims in different orders, so exact-t ties at
+    # silhouettes may pick different winners on isolated pixels (same
+    # tolerance rationale as test_render.test_bvh_vs_brute_render)
+    close = np.isclose(a, b, rtol=2e-4, atol=2e-5)
+    assert close.mean() > 0.995, f"{(~close).sum()} of {close.size} differ"
+    assert a.mean() > 0.01  # lit
