@@ -92,7 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--profile-dir",
         default=None,
-        help="Write a jax.profiler trace of the render to this directory",
+        help="Write a jax.profiler trace of the render to this directory "
+        "(requires a local TPU runtime; remote-compile tunnels have no "
+        "profiler endpoint and the trace may hang — see docs/PERF_NOTES.md)",
     )
     p.add_argument(
         "--devices",
