@@ -12,6 +12,8 @@ Library quick start::
 The CLI twin: ``python -m hijiki_tpu.cli --help``.
 """
 
+from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer
+from hijiki_tpu.parallel.multihost import MultiHostRenderer
 from hijiki_tpu.render.renderer import RenderConfig, Renderer, render_sweep
 from hijiki_tpu.scene.compile import CompiledScene, compile_scene
 from hijiki_tpu.scene.obj import load_obj_scene
@@ -19,6 +21,9 @@ from hijiki_tpu.scene.presets import load_preset
 
 __all__ = [
     "CompiledScene",
+    "MegaMultiChipRenderer",
+    "MultiChipRenderer",
+    "MultiHostRenderer",
     "RenderConfig",
     "Renderer",
     "compile_scene",
