@@ -13,6 +13,7 @@ materialization.
 Extra diagnostics go to stderr so stdout stays a single JSON line.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -23,6 +24,18 @@ def log(*a):
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="render over an N-device mesh (MegaMultiChipRenderer, psum film "
+        "reduce over ICI); reports per-chip Mrays/s. N=1 is the single-chip "
+        "path. On non-TPU backends the Pallas kernels run in interpret mode "
+        "so the flag is testable on a virtual CPU mesh.",
+    )
+    args = ap.parse_args()
+
     from hijiki_tpu.utils.tpuenv import configure_tpu_env
 
     configure_tpu_env()
@@ -41,7 +54,34 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     driver = "mega" if on_tpu else "sync"
-    log(f"devices: {jax.devices()}, driver: {driver}")
+    n_dev = args.devices
+    block_size = 128
+    if n_dev > 1 and not on_tpu:
+        # CPU-mesh smoke run (interpret-mode Pallas): keep it tractable while
+        # satisfying band height % block_size == 0 and block_size % 64 == 0
+        W = 128
+        H = 64 * n_dev
+        timed_spp = 1
+        block_size = 64
+    if n_dev > 1:
+        from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer
+
+        if len(jax.devices()) < n_dev:
+            log(f"only {len(jax.devices())} devices available, need {n_dev}")
+            sys.exit(1)
+        driver = "mega"
+
+        def make_renderer(compiled, cfg):
+            return MegaMultiChipRenderer(
+                compiled, cfg, num_devices=n_dev, interpret=not on_tpu
+            )
+
+    else:
+
+        def make_renderer(compiled, cfg):
+            return Renderer(compiled, cfg)
+
+    log(f"devices: {jax.devices()[:n_dev]}, driver: {driver}")
 
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()
@@ -53,9 +93,10 @@ def main():
 
     # warmup render (compiles everything), forced via image()
     cfg = RenderConfig(
-        width=W, height=H, spp=warmup_spp, seed=0, driver=driver, max_bounces=1000
+        width=W, height=H, spp=warmup_spp, seed=0, driver=driver,
+        max_bounces=1000, block_size=block_size,
     )
-    r = Renderer(compiled, cfg)
+    r = make_renderer(compiled, cfg)
     t0 = time.monotonic()
     r.render()
     img = r.image()
@@ -63,27 +104,37 @@ def main():
 
     # timed: fresh renderer, different seed, forced materialization at the end
     cfg = RenderConfig(
-        width=W, height=H, spp=timed_spp, seed=1, driver=driver, max_bounces=1000
+        width=W, height=H, spp=timed_spp, seed=1, driver=driver,
+        max_bounces=1000, block_size=block_size,
     )
-    r = Renderer(compiled, cfg)
+    r = make_renderer(compiled, cfg)
     t0 = time.monotonic()
     r.render()
     img = r.image()  # host materialization = true synchronization
     elapsed = time.monotonic() - t0
 
     primary = W * H * timed_spp
-    mrays = primary / elapsed / 1e6
+    mrays_per_chip = primary / elapsed / 1e6 / n_dev
     finite = bool((img == img).all())
-    log(f"timed: {timed_spp} spp in {elapsed:.2f}s -> {mrays:.3f} Mrays/s")
+    log(
+        f"timed: {timed_spp} spp in {elapsed:.2f}s -> "
+        f"{mrays_per_chip:.3f} Mrays/s/chip x {n_dev} chips"
+    )
     log(f"image mean {float(img.mean()):.4f} (finite={finite})")
 
+    metric = (
+        "primary Mrays/s/chip, cbox 1024^2 (+spheres), full path trace "
+        "(NEE, RR, 1000-bounce cap), bilateral reconstruction"
+    )
+    if n_dev > 1:
+        metric += f" [{n_dev}-device mesh, psum film reduce]"
     print(
         json.dumps(
             {
-                "metric": "primary Mrays/s/chip, cbox 1024^2 (+spheres), full path trace (NEE, RR, 1000-bounce cap), bilateral reconstruction",
-                "value": round(mrays, 3),
+                "metric": metric,
+                "value": round(mrays_per_chip, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
+                "vs_baseline": round(mrays_per_chip / 100.0, 4),
             }
         )
     )

@@ -12,6 +12,15 @@ Library quick start::
 The CLI twin: ``python -m hijiki_tpu.cli --help``.
 """
 
+# Before anything that might touch a jax backend: libtpu snapshots its flags
+# at init, and the megakernel's wide packets need the raised scoped-VMEM
+# limit (utils/tpuenv.py). Library users who `import jax` and initialize a
+# backend before importing hijiki_tpu are detected and downgraded to safe
+# packet widths in render.renderer.resolve_mega_packet.
+from hijiki_tpu.utils.tpuenv import configure_tpu_env as _configure_tpu_env
+
+_configure_tpu_env()
+
 from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer
 from hijiki_tpu.parallel.multihost import MultiHostRenderer
 from hijiki_tpu.render.renderer import RenderConfig, Renderer, render_sweep

@@ -44,6 +44,7 @@ from hijiki_tpu.ops.intersect import (
     populate_intersection,
 )
 from hijiki_tpu.scene.compile import CompiledScene
+from hijiki_tpu.utils.vma import match_vma
 from hijiki_tpu.scene.model import (
     TAG_DIFFUSE,
     TAG_DIFFUSECBOARD,
@@ -252,7 +253,9 @@ def integrate(
         out["iteration"] = s["iteration"] + 1
         return out
 
-    s = jax.lax.while_loop(cond, body, init)
+    # constant-initialized carries must match the per-shard ray data's
+    # varying axes under shard_map's check_vma (utils/vma.py; no-op unsharded)
+    s = jax.lax.while_loop(cond, body, match_vma(init, state))
     return RenderOutputs(
         total=s["total"],
         normal=s["normal"],

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hijiki_tpu.scene.compile import CompiledScene, KIND_SPHERE, KIND_TRIANGLE
+from hijiki_tpu.utils.vma import match_vma
 
 # numpy scalars, NOT jnp: module-level jnp constants become captured device
 # arrays inside jit and drive this TPU stack into a pathologically slow
@@ -220,7 +221,7 @@ def intersect_bvh(
             best_v=best_v,
         )
 
-    s = jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(cond, body, match_vma(init, o))
     valid = s["best_slot"] >= 0
     slot = jnp.maximum(s["best_slot"], 0)
     return Hit(
@@ -297,7 +298,7 @@ def intersect_rows(o, d, tmin, tmax, active=None, *, scene: CompiledScene) -> Hi
             best_v=best_v,
         )
 
-    s = jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(cond, body, match_vma(init, o))
     valid = s["best_slot"] >= 0
     slot = jnp.maximum(s["best_slot"], 0)
     return Hit(
@@ -351,7 +352,7 @@ def occluded_rows(o, d, tmin, tmax, active=None, *, scene: CompiledScene) -> jnp
         nxt = jnp.where(new_hit, num_rows, nxt)  # early out on first hit
         return dict(cur=jnp.where(lane_on, nxt, cur), hit=new_hit)
 
-    return jax.lax.while_loop(cond, body, init)["hit"]
+    return jax.lax.while_loop(cond, body, match_vma(init, o))["hit"]
 
 
 def occluded_bvh(
@@ -413,7 +414,7 @@ def occluded_bvh(
         cur = jnp.where(new_hit, num_nodes, jnp.where(active, nxt, cur))
         return dict(cur=cur, hit=new_hit)
 
-    s = jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(cond, body, match_vma(init, o))
     return s["hit"]
 
 

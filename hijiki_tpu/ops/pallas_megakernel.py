@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hijiki_tpu.ops.pallas_sort import sort_tile_by_key
 from hijiki_tpu.scene.compile import CompiledScene
+from hijiki_tpu.utils.vma import match_vma, sds
 
 M_EPS = 1e-4
 M_PI = 3.1415926535897932384626433832795
@@ -1267,7 +1268,7 @@ def render_tiles(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                memory_space=pltpu.ANY if table_in_hbm else pltpu.VMEM
+                memory_space=pl.ANY if table_in_hbm else pltpu.VMEM
             ),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1278,8 +1279,8 @@ def render_tiles(
             pl.BlockSpec((None, 1, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 7, SUBLANES, packet), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, packet), jnp.uint32),
+            sds((n_tiles, 7, SUBLANES, packet), jnp.float32, px),
+            sds((n_tiles, 1, SUBLANES, packet), jnp.uint32, px),
         ),
         interpret=interpret,
     )(rows, px.reshape(shape), py.reshape(shape), seeds.reshape(shape))
@@ -1348,7 +1349,7 @@ def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
 def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
     packet = ins[0].shape[-1]
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY if cfg.get("hbm") else pltpu.VMEM)
+        pl.BlockSpec(memory_space=pl.ANY if cfg.get("hbm") else pltpu.VMEM)
     ]
     for a in ins:
         nch = a.shape[1] if a.ndim == 4 else None
@@ -1369,8 +1370,8 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
             pl.BlockSpec((None, 1, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, N_STATE, SUBLANES, packet), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, SUBLANES, packet), jnp.uint32),
+            sds((n_tiles, N_STATE, SUBLANES, packet), jnp.float32, ins[0]),
+            sds((n_tiles, 1, SUBLANES, packet), jnp.uint32, ins[0]),
         ),
         interpret=interpret,
     )(rows, *ins)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hijiki_tpu.utils.vma import sds
+
 M_EPS = 1e-4  # python float: jnp constants can't be captured by kernels
 PACKET = 128  # rays per packet (lane dim)
 SUBLANES = 8  # packets per kernel tile
@@ -246,7 +248,7 @@ def traverse_packets(rows, o, d, tmin, tmax, *, any_hit=False, interpret=False):
         out_specs=pl.BlockSpec(
             (None, 6, SUBLANES, PACKET), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 6, SUBLANES, PACKET), jnp.float32),
+        out_shape=sds((n_tiles, 6, SUBLANES, PACKET), jnp.float32, rays),
         interpret=interpret,
     )(rows_padded, rays)
 

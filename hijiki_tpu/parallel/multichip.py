@@ -31,6 +31,7 @@ from hijiki_tpu.render.blocks import cdiv
 from hijiki_tpu.render.reconstruct import reconstruct_sweep
 from hijiki_tpu.render.renderer import RenderConfig, Renderer
 from hijiki_tpu.scene.compile import CompiledScene
+from hijiki_tpu.utils.vma import match_vma
 
 
 def trace_blocks(
@@ -93,7 +94,11 @@ def trace_blocks(
     # Scatter tiles into a padded full-image canvas (pad absorbs dummy blocks
     # placed at origin (W,H) and edge-block overdraw), then crop.
     def scatter(tiles, ch):
-        canvas = jnp.zeros((height + B, width + B, ch), f32)
+        # the loop-carried canvas (and constant tiles like the all-ones
+        # weight) must share the per-shard block origins' varying axes under
+        # shard_map's check_vma (utils/vma.py; no-op unsharded)
+        canvas = match_vma(jnp.zeros((height + B, width + B, ch), f32), origins)
+        tiles = match_vma(tiles, origins)
 
         def body(i, cv):
             return jax.lax.dynamic_update_slice(
@@ -133,9 +138,8 @@ def make_sharded_sweep(mesh: Mesh, scene: CompiledScene, **kwargs):
         mesh=mesh,
         in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
         out_specs=P(),
-        # while_loop carries mix replicated-constant inits with per-shard
-        # body outputs; skip the varying-manual-axes consistency check.
-        check_vma=False,
+        # check_vma stays ON: loop-carry inits are vma-promoted where they
+        # mix with per-shard data (utils/vma.py match_vma at every loop site)
     )
     return jax.jit(fn)
 
@@ -315,7 +319,15 @@ def make_sharded_mega_sweep(
         mesh=mesh,
         in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_vma=False,
+        # ON whenever the kernels compile (real TPU): out_shape declares vma
+        # via utils/vma.sds and the XLA glue is vma-clean. Interpret mode
+        # must skip the check: interpret-mode pallas_call re-traces the kernel
+        # body with jax ops and its while_loop carries lose their varying
+        # axes (inputs {V:d}, body outputs inferred replicated) — an upstream
+        # inference gap, not a sharding bug. The semantic property the check
+        # guards (per-device results equal the single-chip render) is pinned
+        # by tests/test_multichip.py's mega-vs-single equality test.
+        check_vma=not interpret,
     )
     return jax.jit(fn)
 

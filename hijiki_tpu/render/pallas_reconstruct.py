@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hijiki_tpu.utils.vma import sds
+
 R = 2  # RECONSTRUCTION_RADIUS (src/main.rs:1284)
 STRIP = 8
 f32 = jnp.float32
@@ -170,7 +172,7 @@ def reconstruct_pallas(
         out_specs=pl.BlockSpec(
             (4, STRIP, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, Hp, W), jnp.float32),
+        out_shape=sds((4, Hp, W), jnp.float32, planes),
         interpret=interpret,
     )(so, planes, planes, planes)
 

@@ -244,15 +244,31 @@ def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     one-VREG 128 elsewhere (CPU interpret mode gains nothing from width).
     HIJIKI_MEGA_PACKET overrides the auto choice (experiments). The in-kernel
     bitonic lane sort only supports 128-lane packets, so --sort-lanes pins
-    the width. Wide packets need the raised Mosaic scoped-VMEM limit, so the
-    auto path also applies utils/tpuenv (idempotent; the remote-compile stack
-    forwards the flag per compile, so resolve time is early enough)."""
-    if requested:
-        return requested
-    if sort_lanes:
-        return 128
+    the width and rejects conflicting explicit widths up front (instead of a
+    deep kernel-tracing error). Wide packets need the raised Mosaic
+    scoped-VMEM limit, so tpuenv is applied BEFORE any jax backend touch; if
+    a backend initialized before hijiki_tpu was imported (library misuse on a
+    local TPU runtime), libtpu already snapshot the 16 MiB default and auto
+    falls back to 128-lane packets with a warning."""
     import os
 
+    from hijiki_tpu.utils.tpuenv import scoped_vmem_effective
+
+    # must precede the jax.devices() below (and any caller-side backend init
+    # it can reach) — libtpu snapshots LIBTPU_INIT_ARGS at initialization
+    vmem_ok = scoped_vmem_effective()
+
+    if sort_lanes:
+        explicit = requested or int(os.environ.get("HIJIKI_MEGA_PACKET", "0") or 0)
+        if explicit and explicit != 128:
+            raise ValueError(
+                f"sort_lanes requires 128-lane packets, got mega_packet={explicit} "
+                "(the in-kernel bitonic lane sort only supports one-VREG packets); "
+                "drop --mega-packet/HIJIKI_MEGA_PACKET or set it to 128"
+            )
+        return 128
+    if requested:
+        return requested
     env = os.environ.get("HIJIKI_MEGA_PACKET")
     if env:
         return int(env)
@@ -261,9 +277,19 @@ def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     if jax.devices()[0].platform == "cpu":
         return 128
     from hijiki_tpu.ops.pallas_megakernel import MEGA_PACKET_TPU
-    from hijiki_tpu.utils.tpuenv import configure_tpu_env
 
-    configure_tpu_env()
+    if not vmem_ok:
+        import warnings
+
+        warnings.warn(
+            "jax backend initialized before hijiki_tpu could raise the Mosaic "
+            "scoped-VMEM limit (LIBTPU_INIT_ARGS is snapshot at libtpu init); "
+            "falling back to 128-lane megakernel packets. Import hijiki_tpu "
+            "before initializing jax, or set LIBTPU_INIT_ARGS="
+            "'--xla_tpu_scoped_vmem_limit_kib=65536' in the environment, to "
+            "get wide packets (~1.6x faster)."
+        )
+        return 128
     return MEGA_PACKET_TPU
 
 
@@ -315,6 +341,7 @@ class Renderer:
         start = time.monotonic()
         sweep_marks = []
         total_segments = 0.0
+        resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
             pixel_seeds = per_pixel_seeds(
@@ -341,12 +368,16 @@ class Renderer:
             sweep_marks.append(time.monotonic() - start)
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
-        primary_rays = c.width * c.height * (c.spp - 0)
+        # only the sweeps traced in THIS call: after a checkpoint resume the
+        # loop starts at resume_start, and counting the full spp would inflate
+        # rays/s (parallel/multihost.py applies the same rule)
+        sweeps_traced = self.sweeps_done - resume_start
+        primary_rays = c.width * c.height * sweeps_traced
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary_rays,
             rays_per_second=primary_rays / elapsed if elapsed > 0 else 0.0,
-            spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
         )
         # per-sweep wall-clock marks (dispatch-side; device work may lag)
         self.metrics["sweep_marks"] = sweep_marks

@@ -35,6 +35,7 @@ from hijiki_tpu.ops import rng
 from hijiki_tpu.ops.camera import camera_rays
 from hijiki_tpu.ops.integrate import bounce_step, make_intersectors
 from hijiki_tpu.scene.compile import CompiledScene
+from hijiki_tpu.utils.vma import match_vma
 
 
 class WavefrontImages(NamedTuple):
@@ -176,7 +177,7 @@ def render_wavefront(
         )
         return dict(s, lanes=lanes, iteration=s["iteration"] + 1)
 
-    s = jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(cond, body, match_vma(init, seeds))
     # final flush of lanes that terminated on the last iteration
     s = flush(s, ~s["lanes"]["alive"] & (s["item"] >= 0))
 

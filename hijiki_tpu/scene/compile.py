@@ -217,6 +217,12 @@ def build_trace_rows(
     row_start = np.zeros(n_nodes + 1, dtype=np.int64)
     np.cumsum(rows_per_node, out=row_start[1:])
     total = int(row_start[-1])
+    # exit pointers live in an f32 column: row indices past 2^24 are no
+    # longer exactly representable and traversal would silently corrupt
+    assert total < 2**24, (
+        f"trace table has {total} rows; f32 exit pointers are exact only "
+        "below 2^24 — split the scene or raise leaf_size"
+    )
 
     rows = np.zeros((total, TRACE_ROW_WIDTH), dtype=np.float32)
     is_leaf = counts > 0
@@ -286,6 +292,11 @@ def build_octant_trace_tables(bvh, prim_args) -> np.ndarray:
         rows_o = build_trace_rows(order_children_octant(bvh, octant), *prim_args)
         if R is None:
             R = rows_o.shape[0]
+            # rebased absolute pointers reach 8*R; they must stay f32-exact
+            assert 8 * R < 2**24, (
+                f"octant tables need {8 * R} rows; f32 exit pointers are "
+                "exact only below 2^24 — use octant_tables='never'"
+            )
         assert rows_o.shape[0] == R, "octant flattenings must agree in size"
         rows_o[:, 10] += np.float32(octant * R)  # absolute exit pointers
         tables.append(rows_o)
@@ -467,12 +478,17 @@ def compile_scene(
     def want_octants(base_rows: int) -> bool:
         if octant_tables == "never":
             return False
+        if 8 * base_rows >= 2**24:
+            # rebased exit pointers would leave f32's exact-integer range
+            return False
         if octant_tables == "always":
             return True
         base = base_rows * TRACE_ROW_WIDTH * 4
-        # 8 copies must fit the VMEM budget — except for tables that exceed
-        # VMEM outright: those are streamed from HBM, where 8x is free
-        return 8 * base <= OCTANT_TABLE_BUDGET_BYTES or base > MEGA_VMEM_TABLE_BYTES
+        # 8 copies must fit the VMEM budget. Tables past MEGA_VMEM_TABLE_BYTES
+        # stream from HBM where octants measured only +4% — but the HBM
+        # footprint is 8x the table (and row padding makes it 32x the base),
+        # so auto skips them there; opt in with octant_tables='always'.
+        return 8 * base <= OCTANT_TABLE_BUDGET_BYTES
 
     if 0 < NA <= 8:
         analytic = []

@@ -95,17 +95,27 @@ static void parse_mtl(const std::string& path, std::vector<Material>& mats,
   char line[4096];
   char* toks[16];
   Material* cur = nullptr;
+  // sink for duplicate-named materials: obj.py keeps only the FIRST
+  // occurrence of a name (mtl_index check in load_obj_scene) and discards
+  // later ones entirely, so their Kd/Ke lines must not touch the kept entry
+  Material discard{};
   while (fgets(line, sizeof line, f)) {
     int n = split(line, toks, 16);
     if (!n || toks[0][0] == '#') continue;
     if (!strcmp(toks[0], "newmtl")) {
       std::string name = n > 1 ? toks[1] : "";
-      // mirror obj.py: every newmtl is appended to the parse-order list;
-      // the name->index map keeps the FIRST occurrence
+      if (index.count(name)) {
+        // duplicate newmtl (same file, or an mtllib referenced twice):
+        // obj.py drops it — parse into a throwaway so backends stay
+        // bit-identical (same materials list, same indices)
+        discard = Material{};
+        cur = &discard;
+        continue;
+      }
       mats.push_back(Material{});
       cur = &mats.back();
       cur->name = name;
-      if (!index.count(name)) index.emplace(name, (int32_t)mats.size() - 1);
+      index.emplace(name, (int32_t)mats.size() - 1);
     } else if (!cur) {
       continue;
     } else if (!strcmp(toks[0], "Kd") && n > 3) {

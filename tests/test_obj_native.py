@@ -91,6 +91,42 @@ f 1 2 3
     _assert_scene_equal(a, b)
 
 
+def test_duplicate_newmtl_and_repeated_mtllib(tmp_path):
+    """obj.py keeps only the FIRST occurrence of a material name (later
+    duplicates are dropped entirely, their Kd/Ke ignored); the native parser
+    must match — including a duplicate light* entry that lacks Ke, which must
+    not raise, and duplicates arriving via a twice-referenced mtllib."""
+    (tmp_path / "m.mtl").write_text(
+        "newmtl red\nKd 1 0 0\n"
+        "newmtl lightA\nKe 5 5 5\n"
+        "newmtl red\nKd 0 1 0\n"  # duplicate: dropped, Kd must stay 1 0 0
+        "newmtl lightA\nKd 0.5 0.5 0.5\n"  # duplicate light WITHOUT Ke: dropped
+        "newmtl blue\nKd 0 0 1\n"
+    )
+    obj = """mtllib m.mtl
+mtllib m.mtl
+v 0 0 0
+v 1 0 0
+v 0 1 0
+usemtl red
+f 1 2 3
+usemtl blue
+f 1 2 3
+usemtl lightA
+f 1 2 3
+"""
+    p = tmp_path / "dup.obj"
+    p.write_text(obj)
+    a, b = _both(p)
+    # first occurrences only, in declaration order: red(1,0,0), lightA, blue
+    assert len(a.materials) == 3
+    assert a.materials[0].color == (1.0, 0.0, 0.0)
+    _assert_scene_equal(a, b)
+    np.testing.assert_array_equal(
+        compile_scene(a).materials, compile_scene(b).materials
+    )
+
+
 def test_quads_fan_triangulation(tmp_path):
     (tmp_path / "m.mtl").write_text("newmtl w\nKd 1 1 1\n")
     obj = """mtllib m.mtl
