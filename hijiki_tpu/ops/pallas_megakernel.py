@@ -279,9 +279,194 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
     return dict(hitf=hitf)
 
 
+def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
+                   ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
+    """Software-pipelined packet walk (``spec`` mode, VMEM tables).
+
+    The plain walker's per-iteration critical chain is
+    ``cursor -> row fetch -> slab test -> cross-lane descend vote -> cursor``:
+    the fetch was taken off the chain by the dual-successor prefetch
+    (PERF_NOTES §9f) but the slab + (8,P)->(8,1) vote latency still sits on
+    it. Here the descend vote for the *current* row is computed one iteration
+    EARLY (on the freshly fetched row, using the post-accept best_t of that
+    iteration) and carried — so the successor is already known at iteration
+    start, the cursor decision is a couple of (8,1) selects on carries, and
+    ONE direct fetch of the next row replaces the two speculative ones
+    (8 dynamic slices instead of 16, no (8,32) select). The fetch, slab and
+    vote all get a full iteration of latency slack.
+
+    Exactness: the carried vote for row r is computed from exactly the
+    best_t / hit state the plain walker's in-iteration slab would read from
+    its carries when processing r (post-accept of r's predecessor), so the
+    visit sequence and all accepts are IDENTICAL — not merely statistically
+    equivalent. The one divergence is the any-hit early exit firing one
+    iteration later (the ``done`` vote is carried too), which adds one
+    accept-free iteration per fully-resolved shadow packet and slightly
+    different ``nit`` counters. Images are bitwise-identical.
+    """
+    inv_dx = f32(1.0) / dx
+    inv_dy = f32(1.0) / dy
+    inv_dz = f32(1.0) / dz
+    tox = -ox * inv_dx
+    toy = -oy * inv_dy
+    toz = -oz * inv_dz
+    end = base + tbl_rows
+
+    def slab_vote(rows8, best_t, active_s):
+        """Descend vote (8,1) for the row in rows8 against best_t."""
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], ox.shape)
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        is_prim = col(9) >= f32(0.0)
+        ax = v0x * inv_dx + tox
+        bx = v1x * inv_dx + tox
+        ay = v0y * inv_dy + toy
+        by = v1y * inv_dy + toy
+        az = v0z * inv_dz + toz
+        bz = v1z * inv_dz + toz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+            jnp.minimum(az, bz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+            jnp.maximum(az, bz),
+        )
+        slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
+        vote = jnp.any(slab & active_s & ~is_prim, axis=1, keepdims=True)
+        return jnp.where(vote, f32(1.0), f32(0.0))  # f32 carry (Mosaic-safe)
+
+    def cond(c):
+        return jnp.any(c["cur"] < end)
+
+    def body(c):
+        cur = c["cur"]
+        rows8 = c["rows8"]  # the row at cur (fetched last iteration)
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], ox.shape)
+        col_s = lambda j: rows8[:, j : j + 1]
+        nexit = col_s(10).astype(jnp.int32)
+        is_prim_s = col_s(9) >= f32(0.0)
+        active = cur < end
+
+        # cursor decision: carries only — no fetch/slab/vote on this chain
+        take_exit = is_prim_s | (c["desc"] < f32(0.5))
+        nxt = jnp.where(take_exit, nexit, cur + 1)
+        if not want_payload:
+            nxt = jnp.where(c["done"] > f32(0.5), end, nxt)
+        cur_n = jnp.where(active, nxt, cur)
+        rows8_n = _fetch_rows8(rows_ref, total_rows, cur_n)
+
+        # primitive test on the current row (identical math to _traverse)
+        kind = col(9)
+        is_prim = kind >= f32(0.0)
+        if want_payload:
+            best_t = c["t"]
+        else:
+            best_t = jnp.where(c["hitf"] > 0, tmin, tmax)
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        v2x, v2y, v2z = col(6), col(7), col(8)
+        nx, ny, nz = col(29), col(30), col(31)
+        rx = ox - v0x
+        ry = oy - v0y
+        rz = oz - v0z
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+        v = dd * (qx * v1x + qy * v1y + qz * v1z)
+        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+        is_tri = kind == f32(KIND_TRIANGLE)
+        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
+        if analytic:
+            ok_pq = in_tri & (tmin <= t_pq) & (t_pq <= best_t)
+            phit = ok_pq
+            pt = t_pq
+            pu, pv = u, v
+        else:
+            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+            ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
+            radius = v1x
+            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+            sc = rx * rx + ry * ry + rz * rz - radius * radius
+            disc = sb * sb - f32(4.0) * sc
+            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+            st0 = f32(-0.5) * (sb + sq)
+            st1 = f32(-0.5) * (sb - sq)
+            ok0 = (tmin <= st0) & (st0 <= best_t)
+            ok1 = (tmin <= st1) & (st1 <= best_t)
+            t_s = jnp.where(ok0, st0, st1)
+            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+            is_sphere = kind == f32(KIND_SPHERE)
+            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+            pt = jnp.where(is_sphere, t_s, t_pq)
+            zero = jnp.zeros_like(pt)
+            pu = jnp.where(is_sphere, zero, u)
+            pv = jnp.where(is_sphere, zero, v)
+
+        accept = active & is_prim & phit & (pt < best_t)
+        out = dict(c)
+        if want_payload:
+            out["t"] = jnp.where(accept, pt, c["t"])
+            out["u"] = jnp.where(accept, pu, c["u"])
+            out["v"] = jnp.where(accept, pv, c["v"])
+            cur_b = jnp.broadcast_to(cur, ox.shape)
+            out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
+            bt_next = out["t"]
+        else:
+            out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
+            bt_next = jnp.where(out["hitf"] > 0, tmin, tmax)
+            done_v = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
+            out["done"] = jnp.where(done_v, f32(1.0), f32(0.0))
+
+        # speculative vote for the just-fetched next row — consumed next
+        # iteration, so its slab + cross-lane reduce latency has a full
+        # iteration of slack
+        out["desc"] = slab_vote(rows8_n, bt_next, cur_n < end)
+        out["cur"] = cur_n
+        out["rows8"] = rows8_n
+        out["nit"] = c["nit"] + f32(1.0)
+        return out
+
+    init = dict(
+        cur=base,
+        nit=jnp.zeros(ox.shape, f32),
+    )
+    if analytic:
+        pre = _analytic_pretest(
+            analytic, total_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
+        )
+        init.update(pre)
+    elif want_payload:
+        init["t"] = tmax
+        init["u"] = jnp.zeros(ox.shape, f32)
+        init["v"] = jnp.zeros(ox.shape, f32)
+        init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
+    else:
+        init["hitf"] = jnp.zeros(ox.shape, f32)
+    init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
+    if want_payload:
+        bt0 = init["t"]
+    else:
+        bt0 = jnp.where(init["hitf"] > 0, tmin, tmax)
+        done0 = jnp.all((init["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
+        init["done"] = jnp.where(done0, f32(1.0), f32(0.0))
+    init["desc"] = slab_vote(init["rows8"], bt0, base < end)
+
+    final = jax.lax.while_loop(cond, body, init)
+    if not want_payload:
+        final = dict(final)
+        final.pop("done")
+    if not want_payload:
+        return final
+    return _resolve_winners(rows_ref, total_rows, analytic, final, hbm_bufs=None)
+
+
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-              prefetch=False, hbm_bufs=None):
+              prefetch=False, hbm_bufs=None, spec=False):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -300,7 +485,15 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     winner's row payload (kind/material/shading data) is filled in afterwards
     by ``_resolve_winners``, which loops over the *distinct* winning rows per
     packet instead of selecting 18 channels on every traversal step.
+
+    ``spec=True`` routes VMEM-table walks to the software-pipelined variant
+    (``_traverse_spec``); HBM-table walks keep their own DMA pipeline.
     """
+    if spec and hbm_bufs is None:
+        return _traverse_spec(
+            rows_ref, tbl_rows, total_rows, analytic, base,
+            ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+        )
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
     inv_dz = f32(1.0) / dz
@@ -664,6 +857,7 @@ def _bounce_loop(rows_ref, cfg, init):
     total_rows = cfg["total_rows"]
     ntab = cfg["ntab"]
     prefetch = cfg.get("prefetch", False)
+    spec = cfg.get("spec", False)
     hbm_bufs = cfg.get("hbm_bufs")
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
@@ -701,6 +895,7 @@ def _bounce_loop(rows_ref, cfg, init):
             want_payload=True,
             prefetch=prefetch,
             hbm_bufs=hbm_bufs,
+            spec=spec,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -941,6 +1136,7 @@ def _bounce_loop(rows_ref, cfg, init):
             want_payload=False,
             prefetch=prefetch,
             hbm_bufs=hbm_bufs,
+            spec=spec,
         )
         unoccluded = sh["hitf"] == 0
 
@@ -1231,6 +1427,7 @@ def render_tiles(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
+    spec: bool = False,
     table_in_hbm: bool = False,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
@@ -1257,6 +1454,7 @@ def render_tiles(
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
         prefetch=prefetch,
+        spec=spec,
         hbm=table_in_hbm,
     )
     if table_in_hbm:
@@ -1389,6 +1587,7 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "interpret",
         "packet",
         "prefetch",
+        "spec",
         "table_in_hbm",
     ),
 )
@@ -1407,6 +1606,7 @@ def render_waves(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
+    spec: bool = False,
     table_in_hbm: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
@@ -1456,6 +1656,7 @@ def render_waves(
         analytic=scene.analytic_bake_static,
         lane_sort=lane_sort,
         prefetch=prefetch,
+        spec=spec,
         hbm=table_in_hbm,
     )
     if table_in_hbm:

@@ -94,6 +94,26 @@ def test_megakernel_dielectric(setup):
     )
 
 
+def test_spec_walker_bitwise_identical(setup):
+    """The software-pipelined walker (spec mode) must produce bitwise-equal
+    outputs: its carried descend vote is computed from exactly the state the
+    plain walker's in-iteration slab reads (ops/pallas_megakernel
+    ._traverse_spec docstring)."""
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+
+    cs, W, H, px, py, seeds = setup
+    a = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=16,
+        interpret=True, spec=False,
+    )
+    b = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=16,
+        interpret=True, spec=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_render_waves_matches_single_launch(setup):
     """Phased (compaction+sort) launches == one launch, path for path."""
     from hijiki_tpu.ops.pallas_megakernel import render_tiles, render_waves

@@ -117,6 +117,28 @@ def main():
     sc.put_cbox_spheres()
     rows.append(("4 wavefront 1024^2", *run_config("cfg4", sc, 1024, 1024, max(spp // 8, 1))))
 
+    # 4b: genuine big scene (405k-tri subdivided cbox, 74 MB trace table) —
+    # exercises the HBM-resident table streaming mode (PERF_NOTES §9h) on
+    # real BVH topology. Config 4's BASELINE "per-material stream sort" is
+    # measured-off on this stack: compaction is via phases/regeneration
+    # (render_waves), and --sort-lanes is a documented dead end (PERF_NOTES
+    # §9: intra-tile sorting increases packet row unions).
+    import subprocess
+
+    big_obj = "/tmp/bigcbox3.obj"
+    if not os.path.exists(big_obj):
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "make_bigscene.py"),
+             "3", big_obj],
+            check=True,
+        )
+    sc = load_obj_scene(big_obj)
+    sc.put_cbox_spheres()
+    big_spp = max(spp // 16, 1)
+    name = "4b big scene 405k tris 512^2 (HBM table)"
+    mrays, dt, mean = run_config("cfg4b", sc, 512, 512, big_spp)
+    rows.append((name, mrays, dt, mean))
+
     # 5: bilateral denoise + progressive preview accumulation (reconstruction
     # throughput: pallas stencil over one sweep's AOVs)
     import jax.numpy as jnp
