@@ -280,7 +280,8 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
 
 
 def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
-                   ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload):
+                   ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                   pred=None):
     """Software-pipelined packet walk (``spec`` mode, VMEM tables).
 
     The plain walker's per-iteration critical chain is
@@ -317,7 +318,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], ox.shape)
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
-        is_prim = col(9) >= f32(0.0)
+        is_prim_s = rows8[:, 9:10] >= f32(0.0)  # (8,1)
         ax = v0x * inv_dx + tox
         bx = v1x * inv_dx + tox
         ay = v0y * inv_dy + toy
@@ -333,7 +334,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
             jnp.maximum(az, bz),
         )
         slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
-        vote = jnp.any(slab & active_s & ~is_prim, axis=1, keepdims=True)
+        vote = jnp.any(slab & (active_s & ~is_prim_s), axis=1, keepdims=True)
         return jnp.where(vote, f32(1.0), f32(0.0))  # f32 carry (Mosaic-safe)
 
     def cond(c):
@@ -341,7 +342,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
 
     def body(c):
         cur = c["cur"]
-        rows8 = c["rows8"]  # the row at cur (fetched last iteration)
+        rows8 = c["rows8"]  # the row at cur (selected last iteration)
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], ox.shape)
         col_s = lambda j: rows8[:, j : j + 1]
         nexit = col_s(10).astype(jnp.int32)
@@ -354,11 +355,14 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         if not want_payload:
             nxt = jnp.where(c["done"] > f32(0.5), end, nxt)
         cur_n = jnp.where(active, nxt, cur)
-        rows8_n = _fetch_rows8(rows_ref, total_rows, cur_n)
+        # next row's data comes from the CARRIED dual prefetch — an
+        # in-register select, so the speculative vote below never waits on a
+        # load (spec v1 fetched here and put the load latency back on the
+        # body; measured 0.915x)
+        sel_n = jnp.broadcast_to(take_exit, (SUBLANES, TRACE_COLS))
+        rows8_n = jnp.where(sel_n, c["pfb"], c["pfa"])
 
         # primitive test on the current row (identical math to _traverse)
-        kind = col(9)
-        is_prim = kind >= f32(0.0)
         if want_payload:
             best_t = c["t"]
         else:
@@ -377,14 +381,15 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         u = -dd * (qx * v2x + qy * v2y + qz * v2z)
         v = dd * (qx * v1x + qy * v1y + qz * v1z)
         t_pq = -dd * (nx * rx + ny * ry + nz * rz)
-        is_tri = kind == f32(KIND_TRIANGLE)
         in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
         if analytic:
-            ok_pq = in_tri & (tmin <= t_pq) & (t_pq <= best_t)
-            phit = ok_pq
+            # (t_pq <= best_t) is implied by the accept's strict (pt < best_t)
+            phit = in_tri & (tmin <= t_pq)
             pt = t_pq
             pu, pv = u, v
         else:
+            kind = col(9)
+            is_tri = kind == f32(KIND_TRIANGLE)
             in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
             ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
             ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
@@ -406,7 +411,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
             pu = jnp.where(is_sphere, zero, u)
             pv = jnp.where(is_sphere, zero, v)
 
-        accept = active & is_prim & phit & (pt < best_t)
+        accept = (active & is_prim_s) & phit & (pt < best_t)
         out = dict(c)
         if want_payload:
             out["t"] = jnp.where(accept, pt, c["t"])
@@ -417,14 +422,22 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
             bt_next = out["t"]
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
+            if pred is not None:
+                out["orow"] = jnp.where(
+                    accept, jnp.broadcast_to(cur, ox.shape), c["orow"]
+                )
             bt_next = jnp.where(out["hitf"] > 0, tmin, tmax)
             done_v = jnp.all((out["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
             out["done"] = jnp.where(done_v, f32(1.0), f32(0.0))
 
-        # speculative vote for the just-fetched next row — consumed next
-        # iteration, so its slab + cross-lane reduce latency has a full
-        # iteration of slack
+        # speculative vote for the next row (register inputs, no load wait)
+        # — consumed next iteration, so its slab + cross-lane reduce latency
+        # has a full iteration of slack
         out["desc"] = slab_vote(rows8_n, bt_next, cur_n < end)
+        # prefetch BOTH successors of the next row for iteration i+1
+        nexit_n = rows8_n[:, 10:11].astype(jnp.int32)
+        out["pfa"] = _fetch_rows8(rows_ref, total_rows, cur_n + 1)
+        out["pfb"] = _fetch_rows8(rows_ref, total_rows, nexit_n)
         out["cur"] = cur_n
         out["rows8"] = rows8_n
         out["nit"] = c["nit"] + f32(1.0)
@@ -432,7 +445,8 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
 
     init = dict(
         cur=base,
-        nit=jnp.zeros(ox.shape, f32),
+        # (8,1): the visit count is per-packet uniform; consumers broadcast
+        nit=jnp.zeros((SUBLANES, 1), f32),
     )
     if analytic:
         pre = _analytic_pretest(
@@ -446,6 +460,15 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
     else:
         init["hitf"] = jnp.zeros(ox.shape, f32)
+    if not want_payload and pred is not None:
+        # shadow-ray occlusion cache: verified predictions resolve lanes
+        # before the walk (exact — see _anyhit_pretest)
+        ph, vrow = _anyhit_pretest(
+            rows_ref, total_rows, analytic, pred,
+            ox, oy, oz, dx, dy, dz, tmin, tmax,
+        )
+        init["hitf"] = jnp.maximum(init["hitf"], ph)
+        init["orow"] = vrow
     init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
     if want_payload:
         bt0 = init["t"]
@@ -454,6 +477,9 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         done0 = jnp.all((init["hitf"] > 0) | (tmax < 0), axis=1, keepdims=True)
         init["done"] = jnp.where(done0, f32(1.0), f32(0.0))
     init["desc"] = slab_vote(init["rows8"], bt0, base < end)
+    nexit0 = init["rows8"][:, 10:11].astype(jnp.int32)
+    init["pfa"] = _fetch_rows8(rows_ref, total_rows, base + 1)
+    init["pfb"] = _fetch_rows8(rows_ref, total_rows, nexit0)
 
     final = jax.lax.while_loop(cond, body, init)
     if not want_payload:
@@ -466,7 +492,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
 
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-              prefetch=False, hbm_bufs=None, spec=False):
+              prefetch=False, hbm_bufs=None, spec=False, pred=None):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -492,8 +518,10 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     if spec and hbm_bufs is None:
         return _traverse_spec(
             rows_ref, tbl_rows, total_rows, analytic, base,
-            ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+            ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload, pred=pred,
         )
+    if hbm_bufs is not None:
+        pred = None  # the pretest fetch path is VMEM-only
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
     inv_dz = f32(1.0) / dz
@@ -527,7 +555,6 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
         v2x, v2y, v2z = col(6), col(7), col(8)
-        kind = col(9)
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
 
@@ -540,8 +567,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             fetch_b = _fetch_rows8(rows_ref, total_rows, nexit)
 
         active = cur < end
-        is_prim = kind >= f32(0.0)
-        is_prim_s = kind_s >= f32(0.0)  # (8,1) twin for cursor arithmetic
+        is_prim_s = kind_s >= f32(0.0)  # (8,1): row type is per-packet uniform
         if want_payload:
             best_t = c["t"]
         else:
@@ -562,7 +588,8 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)), jnp.maximum(az, bz)
         )
         slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tmin)
-        descend = jnp.any(slab & active & ~is_prim, axis=1, keepdims=True)
+        # (8,1) scalar masks combine before touching the (8,P) slab
+        descend = jnp.any(slab & (active & ~is_prim_s), axis=1, keepdims=True)
 
         if hbm_bufs is not None:
             # the cursor decision needs only the slab test, so the next row's
@@ -592,17 +619,18 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         u = -dd * (qx * v2x + qy * v2y + qz * v2z)
         v = dd * (qx * v1x + qy * v1y + qz * v1z)
         t_pq = -dd * (nx * rx + ny * ry + nz * rz)
-        is_tri = kind == f32(KIND_TRIANGLE)
         in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
         if analytic:
             # triangle-only table: spheres/quads were pre-tested as baked
             # immediates, so the whole sphere branch and the quad/tri kind
-            # selects drop out of the hot loop
-            ok_pq = in_tri & (tmin <= t_pq) & (t_pq <= best_t)
-            phit = ok_pq
+            # selects drop out of the hot loop. (t_pq <= best_t) is implied
+            # by the accept's strict (pt < best_t) — not tested twice.
+            phit = in_tri & (tmin <= t_pq)
             pt = t_pq
             pu, pv = u, v
         else:
+            kind = col(9)
+            is_tri = kind == f32(KIND_TRIANGLE)
             in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
             ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
             ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
@@ -626,7 +654,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             pu = jnp.where(is_sphere, zero, u)
             pv = jnp.where(is_sphere, zero, v)
 
-        accept = active & is_prim & phit & (pt < best_t)
+        accept = (active & is_prim_s) & phit & (pt < best_t)
         out = dict(c)
         if want_payload:
             out["t"] = jnp.where(accept, pt, c["t"])
@@ -636,6 +664,10 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
+            if pred is not None:
+                out["orow"] = jnp.where(
+                    accept, jnp.broadcast_to(cur, ox.shape), c["orow"]
+                )
 
         take_exit = is_prim_s | ~descend
         nxt = jnp.where(take_exit, nexit, cur + 1)
@@ -656,7 +688,8 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
 
     init = dict(
         cur=base,
-        nit=jnp.zeros(ox.shape, f32),
+        # (8,1): the visit count is per-packet uniform; consumers broadcast
+        nit=jnp.zeros((SUBLANES, 1), f32),
     )
     if hbm_bufs is not None:
         _dma_rows8(rows_ref, total_rows, base, scr_a, sem_a)
@@ -674,6 +707,13 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
     else:
         init["hitf"] = jnp.zeros(ox.shape, f32)
+    if not want_payload and pred is not None:
+        ph, vrow = _anyhit_pretest(
+            rows_ref, total_rows, analytic, pred,
+            ox, oy, oz, dx, dy, dz, tmin, tmax,
+        )
+        init["hitf"] = jnp.maximum(init["hitf"], ph)
+        init["orow"] = vrow
     final = jax.lax.while_loop(cond, body, init)
     if hbm_bufs is not None:
         # drain the final iteration's in-flight copy so the scoped semaphore
@@ -683,6 +723,73 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         return final
     return _resolve_winners(rows_ref, total_rows, analytic, final,
                             hbm_bufs=hbm_bufs)
+
+
+def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
+                    ox, oy, oz, dx, dy, dz, tmin, tmax, rounds=4):
+    """Shadow-ray occlusion-cache verification (arXiv 1910.01304's ray-path
+    prediction, packet form): ``pred`` holds each lane's predicted occluder
+    row (the row that occluded its previous shadow ray; -1 = none). Up to
+    ``rounds`` DISTINCT predicted rows per packet are fetched and prim-tested
+    before the walk; a verified hit is a sufficient any-hit answer, so the
+    lane stops voting in the packet walk (union shrink) and fully-verified
+    packets skip the walk outright.
+
+    EXACT by construction: predictions are only ever *verified* — a wrong or
+    stale prediction simply fails the test and the lane walks normally.
+    Returns (hitf0, vrow): verified-occluded flags and the verifying row
+    (-1 where unverified)."""
+    shp = ox.shape
+    hitf = jnp.zeros(shp, f32)
+    vrow = jnp.full(shp, -1, jnp.int32)
+    pending = jnp.where((pred >= 0) & (pred < total_rows), pred,
+                        jnp.int32(total_rows))
+    for _ in range(rounds):
+        tgt = jnp.min(pending, axis=1, keepdims=True)  # (8,1)
+        rows8 = _fetch_rows8(rows_ref, total_rows, tgt)
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        v2x, v2y, v2z = col(6), col(7), col(8)
+        nx, ny, nz = col(29), col(30), col(31)
+        rx = ox - v0x
+        ry = oy - v0y
+        rz = oz - v0z
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+        v = dd * (qx * v1x + qy * v1y + qz * v1z)
+        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
+        if analytic:
+            phit = in_tri & (tmin <= t_pq) & (t_pq < tmax)
+        else:
+            kind = col(9)
+            is_tri = kind == f32(KIND_TRIANGLE)
+            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+            ok_pq &= (tmin <= t_pq) & (t_pq < tmax)
+            radius = v1x
+            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+            sc = rx * rx + ry * ry + rz * rz - radius * radius
+            disc = sb * sb - f32(4.0) * sc
+            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+            st0 = f32(-0.5) * (sb + sq)
+            st1 = f32(-0.5) * (sb - sq)
+            ok0 = (tmin <= st0) & (st0 < tmax)
+            ok1 = (tmin <= st1) & (st1 < tmax)
+            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+            is_sphere = kind == f32(KIND_SPHERE)
+            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+        tgt_b = jnp.broadcast_to(tgt, shp)
+        sel = (pending == tgt_b) & (tgt_b < total_rows)
+        verified = sel & phit
+        hitf = jnp.where(verified, f32(1.0), hitf)
+        vrow = jnp.where(verified, tgt_b, vrow)
+        pending = jnp.where(sel, jnp.int32(total_rows), pending)
+    return hitf, vrow
 
 
 def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
@@ -825,9 +932,10 @@ def _lane_sort(s, cfg, by_pid=False):
         )
         key = octant + 8 * (qx + 4 * (qy + 4 * qz))
         key = jnp.where(s["alive"] > 0, key, jnp.int32(1 << 20))
-    chans = [s[c] for c in _SORT_CH] + [s["state"]]
+    names = _SORT_CH + (["srow"] if "srow" in s else [])
+    chans = [s[c] for c in names] + [s["state"]]
     key, chans = sort_tile_by_key(key, chans)
-    out = dict(zip(_SORT_CH, chans[:-1]))
+    out = dict(zip(names, chans[:-1]))
     out["state"] = chans[-1]
     return out
 
@@ -863,9 +971,16 @@ def _bounce_loop(rows_ref, cfg, init):
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
     lane_sort = cfg.get("lane_sort", False)
+    # shadow-ray occlusion cache (VMEM tables only): per-lane predicted
+    # occluder row, verified before each shadow walk (_anyhit_pretest).
+    # In-kernel state only — resets at phase boundaries (prediction loss
+    # only, exactness unaffected).
+    shadow_cache = cfg.get("shadow_cache", False) and not cfg.get("hbm")
 
     init = dict(init)
     pshape = init["ox"].shape
+    if shadow_cache:
+        init["srow"] = jnp.full(pshape, -1.0, f32)
     init["pid"] = jax.lax.broadcasted_iota(
         jnp.int32, pshape, 0
     ) * pshape[1] + jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
@@ -1137,6 +1252,7 @@ def _bounce_loop(rows_ref, cfg, init):
             prefetch=prefetch,
             hbm_bufs=hbm_bufs,
             spec=spec,
+            pred=s["srow"].astype(jnp.int32) if shadow_cache else None,
         )
         unoccluded = sh["hitf"] == 0
 
@@ -1308,6 +1424,12 @@ def _bounce_loop(rows_ref, cfg, init):
             ab=ab,
             pid=s["pid"],
         )
+        if shadow_cache:
+            # keep the last verified/accepted occluder as next prediction;
+            # lanes that shot no shadow ray keep their previous prediction
+            out["srow"] = jnp.where(
+                gate, sh["orow"].astype(f32), s["srow"]
+            )
         if lane_sort:
             out = _lane_sort(out, cfg)
         return out
@@ -1427,7 +1549,8 @@ def render_tiles(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
-    spec: bool = False,
+    spec: bool = True,
+    shadow_cache: bool = False,
     table_in_hbm: bool = False,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
@@ -1455,6 +1578,7 @@ def render_tiles(
         lane_sort=lane_sort,
         prefetch=prefetch,
         spec=spec,
+        shadow_cache=shadow_cache,
         hbm=table_in_hbm,
     )
     if table_in_hbm:
@@ -1588,6 +1712,7 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "packet",
         "prefetch",
         "spec",
+        "shadow_cache",
         "table_in_hbm",
     ),
 )
@@ -1606,7 +1731,8 @@ def render_waves(
     interpret: bool = False,
     packet: int = PACKET,
     prefetch: bool = True,
-    spec: bool = False,
+    spec: bool = True,
+    shadow_cache: bool = False,
     table_in_hbm: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
@@ -1657,6 +1783,7 @@ def render_waves(
         lane_sort=lane_sort,
         prefetch=prefetch,
         spec=spec,
+        shadow_cache=shadow_cache,
         hbm=table_in_hbm,
     )
     if table_in_hbm:

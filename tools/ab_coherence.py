@@ -68,7 +68,7 @@ def main():
         return (
             (x + offx).reshape(-1).astype(np.float32),
             (y + offy).reshape(-1).astype(np.float32),
-            seeds,
+            np.asarray(seeds).reshape(-1),
         )
 
     def run(px, py, seeds):
