@@ -55,14 +55,41 @@ class BlockScheduler:
         return SweepSchedule(sweep_index, offset, seeds)
 
 
+def per_pixel_seeds_device(width, height, block_size, block_seeds):
+    """Traced (jnp) twin of per_pixel_seeds: expands the (bh, bw) u32 block
+    seeds to (H, W) per-pixel seeds ON DEVICE with repeat + iota arithmetic —
+    no gather (the (H,W)-indexed gather form compiles pathologically on this
+    stack, docs/PERF_NOTES.md §2). Moving this off the host saves the
+    ~60-100 ms host compute + ~160 ms 4 MB upload per 1024^2 sweep that the
+    host path costs through the tunnel (measured, §9l)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = block_size
+    bh, bw_n = block_seeds.shape
+    base = jnp.repeat(jnp.repeat(block_seeds, B, axis=0), B, axis=1)
+    base = base[:height, :width]
+    y = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    bx = x // B
+    lx = x - bx * B
+    ly = y - (y // B) * B
+    clip_w = jnp.minimum(B, width - bx * B)
+    return (
+        base
+        + lx.astype(jnp.uint32)
+        + ly.astype(jnp.uint32) * clip_w.astype(jnp.uint32)
+    )
+
+
 def per_pixel_seeds(width, height, block_size, block_seeds):
     """Per-pixel RNG seeds for a sweep (numpy, host side).
 
     seed = block_seed + lx + ly * block_width_clipped
     (``shader/render.glsl:156-157`` with ``dimension`` = the clipped block
-    dims from ``src/main.rs:657-658``). Computed on host: the device-side
-    version needs a (H,W)-indexed gather, which this TPU stack compiles
-    pathologically (docs/PERF_NOTES.md).
+    dims from ``src/main.rs:657-658``). The hot path uses the traced twin
+    ``per_pixel_seeds_device`` (render_sweep's seeds_from_blocks mode); this
+    host form remains for tools/tests and the non-jit paths.
     """
     block_seeds = np.asarray(block_seeds, dtype=np.uint32)
     y, x = np.mgrid[0:height, 0:width]

@@ -30,7 +30,7 @@ import numpy as np
 from hijiki_tpu.ops.camera import camera_rays
 from hijiki_tpu.ops.integrate import integrate
 from hijiki_tpu.ops.rng import seed_rng
-from hijiki_tpu.render.blocks import BlockScheduler, per_pixel_seeds
+from hijiki_tpu.render.blocks import BlockScheduler
 from hijiki_tpu.render.reconstruct import normalize_film, reconstruct_sweep
 from hijiki_tpu.scene.compile import CompiledScene, scene_to_device
 from hijiki_tpu.utils.exr import write_exr, write_png
@@ -92,6 +92,7 @@ class RenderConfig:
         "fixed_albedo",
         "mega_packet",
         "mega_table_hbm",
+        "seeds_from_blocks",
     ),
 )
 def render_sweep(
@@ -114,11 +115,23 @@ def render_sweep(
     fixed_albedo: bool = False,
     mega_packet: int = 128,
     mega_table_hbm: bool = False,
+    seeds_from_blocks: bool = False,
 ):
-    """Trace + reconstruct one full-image sweep; returns (film_delta, stats)."""
+    """Trace + reconstruct one full-image sweep; returns (film_delta, stats).
+
+    seeds_from_blocks: ``pixel_seeds`` is the scheduler's tiny (bh, bw) u32
+    block-seed array and the (H, W) per-pixel seeds are derived on device
+    (render.blocks.per_pixel_seeds_device) — saves the per-sweep host
+    compute + 4 MB upload of the expanded seeds (~35%% of a 1024^2 mega
+    sweep through the tunnel; PERF_NOTES §9l)."""
     f32 = jnp.float32
     H, W = height, width
-    seeds = pixel_seeds
+    if seeds_from_blocks:
+        from hijiki_tpu.render.blocks import per_pixel_seeds_device
+
+        seeds = per_pixel_seeds_device(width, height, block_size, pixel_seeds)
+    else:
+        seeds = pixel_seeds
 
     y = jax.lax.broadcasted_iota(f32, (H, W), 0)
     x = jax.lax.broadcasted_iota(f32, (H, W), 1)
@@ -344,13 +357,14 @@ class Renderer:
         resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
-            pixel_seeds = per_pixel_seeds(
-                c.width, c.height, c.block_size, sched.block_seeds
-            )
+            # per-pixel seeds expand on DEVICE from the tiny block-seed
+            # array (seeds_from_blocks in render_sweep): the host expansion
+            # + 4 MB upload cost ~35% of a 1024^2 mega sweep (PERF_NOTES §9l)
             delta, stats = render_sweep(
                 self.scene,
-                jnp.asarray(pixel_seeds),
+                jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32)),
                 jnp.asarray(sched.sample_offset),
+                seeds_from_blocks=True,
                 **kwargs,
             )
             self._last_stats = stats
