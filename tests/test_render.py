@@ -228,3 +228,20 @@ def test_golden_cbox_statistics(cbox_compiled):
     assert abs(float(img.mean()) - 0.133258) < 5e-4
     q = np.quantile(img, [0.1, 0.5, 0.9])
     np.testing.assert_allclose(q, [0.0, 0.030775, 0.209008], atol=2e-3)
+
+
+def test_device_seed_expansion_bitwise():
+    """per_pixel_seeds_device must reproduce the host expansion bitwise,
+    including non-multiple image sizes (edge-block clipped widths)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hijiki_tpu.render.blocks import per_pixel_seeds, per_pixel_seeds_device
+
+    rng = np.random.default_rng(3)
+    for (W, H, B) in [(256, 128, 64), (130, 70, 64), (96, 96, 64)]:
+        bw, bh = -(-W // B), -(-H // B)
+        bs = rng.integers(0, 1 << 32, (bh, bw), dtype=np.uint32)
+        a = np.asarray(per_pixel_seeds(W, H, B, bs))
+        b = np.asarray(per_pixel_seeds_device(W, H, B, jnp.asarray(bs)))
+        np.testing.assert_array_equal(a, b)
