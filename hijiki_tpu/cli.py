@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
         "0 = auto (1024 on TPU, 128 elsewhere)",
     )
     p.add_argument(
+        "--mega-groups",
+        type=int,
+        default=0,
+        help="Independent cursor groups per megakernel tile (grouped "
+        "walker: smaller per-cursor row unions); 0 = auto",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -151,6 +158,7 @@ def main(argv=None) -> int:
         sort_lanes=args.sort_lanes,
         fixed_albedo=args.fixed_albedo,
         mega_packet=args.mega_packet,
+        mega_groups=args.mega_groups,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":

@@ -51,6 +51,12 @@ M_PI = 3.1415926535897932384626433832795
 # module constant is only the plain one-VREG default.
 PACKET = 128
 MEGA_PACKET_TPU = 1024
+# Independent cursor groups per megakernel tile on TPU (grouped spec walker,
+# _traverse_spec_grouped): auto default used by render.renderer
+# .resolve_mega_groups. Measured in-process (tools/ab_groups.py, cbox 512^2
+# full trace, P=1024, bitwise-equal sums): G=2 1.03x, G=4 1.17x, G=8 0.79x
+# (per-group fetch issues overtake the union shrink) — see PERF_NOTES §9m.
+MEGA_GROUPS_TPU = 4
 SUBLANES = 8
 # HBM-resident tables pad rows to one full lane tile: Mosaic DMA slices
 # must be 128-aligned in the lane dimension
@@ -141,6 +147,27 @@ def _randf(s):
 # ----------------------------------------------------------------------------
 # In-kernel packet traversal (shared closest-hit / any-hit walker)
 # ----------------------------------------------------------------------------
+
+
+def _check_groups(packet, groups, spec, table_in_hbm):
+    """Validate the grouped-walker configuration early (kernel tracing
+    failures are opaque). Groups >1 require the spec VMEM walker and whole
+    128-lane VREG rows per group."""
+    if groups == 1:
+        return
+    if groups < 1 or packet % (groups * PACKET) != 0:
+        raise ValueError(
+            f"groups={groups} needs packet to be a multiple of "
+            f"{groups * PACKET} (got {packet}): each cursor group must own "
+            f"at least one full 128-lane VREG row"
+        )
+    if not spec:
+        raise ValueError("groups>1 requires the spec walker (spec=True)")
+    if table_in_hbm:
+        raise ValueError(
+            "groups>1 is VMEM-table only (the HBM DMA pipeline is "
+            "single-cursor); drop groups or table_in_hbm"
+        )
 
 
 def _fetch_rows8(rows_ref, num_rows, cur):
@@ -490,9 +517,272 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
     return _resolve_winners(rows_ref, total_rows, analytic, final, hbm_bufs=None)
 
 
+def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic):
+    """Unified primitive test of one trace row against a ray group.
+
+    Identical math to the inlined blocks in ``_traverse``/``_traverse_spec``
+    (plane-normal cols 29-31 precomputed at scene compile); shapes follow
+    ``ox``. Returns (phit, pt, pu, pv)."""
+    shp = ox.shape
+    col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    v1x, v1y, v1z = col(3), col(4), col(5)
+    v2x, v2y, v2z = col(6), col(7), col(8)
+    nx, ny, nz = col(29), col(30), col(31)
+    rx = ox - v0x
+    ry = oy - v0y
+    rz = oz - v0z
+    qx = ry * dz - rz * dy
+    qy = rz * dx - rx * dz
+    qz = rx * dy - ry * dx
+    dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+    u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+    v = dd * (qx * v1x + qy * v1y + qz * v1z)
+    t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+    in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
+    if analytic:
+        # (t_pq <= best_t) is implied by the accept's strict (pt < best_t)
+        phit = in_tri & (tmin <= t_pq)
+        return phit, t_pq, u, v
+    kind = col(9)
+    is_tri = kind == f32(KIND_TRIANGLE)
+    in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+    ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+    ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
+    radius = v1x
+    sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+    sc = rx * rx + ry * ry + rz * rz - radius * radius
+    disc = sb * sb - f32(4.0) * sc
+    sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+    st0 = f32(-0.5) * (sb + sq)
+    st1 = f32(-0.5) * (sb - sq)
+    ok0 = (tmin <= st0) & (st0 <= best_t)
+    ok1 = (tmin <= st1) & (st1 <= best_t)
+    t_s = jnp.where(ok0, st0, st1)
+    ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+    is_sphere = kind == f32(KIND_SPHERE)
+    phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+    pt = jnp.where(is_sphere, t_s, t_pq)
+    zero = jnp.zeros_like(pt)
+    pu = jnp.where(is_sphere, zero, u)
+    pv = jnp.where(is_sphere, zero, v)
+    return phit, pt, pu, pv
+
+
+def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
+                           ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                           groups, pred=None, group_octant=True):
+    """Grouped software-pipelined walk: G independent cursor groups per tile.
+
+    The packet-union tax scales with lanes-per-cursor (per-sublane unions,
+    PERF_NOTES §9d: ~73 row visits at 128 lanes vs ~262 at 1024), while the
+    per-iteration VPU issue count scales with TOTAL lanes. Splitting the
+    (8, P) tile's lane dim into ``groups`` groups of P/G lanes — each with
+    its own (8,1) cursor set, carried row, and carried descend vote — keeps
+    the iteration issue count of the wide tile (G × ops on (8, P/G) arrays,
+    all independent chains, so the latency-bubble fill of §9d is preserved)
+    but lets every group retire after ITS OWN union, not the tile-wide one.
+    The loop runs until the slowest group finishes; finished groups idle
+    (masked) — the max-over-groups inflation and the G× dynamic-slice fetch
+    issue cost are what the union shrinkage has to beat.
+
+    Groups fetch their next row directly (8 slices/group/iter, half of the
+    dual-prefetch volume); the fetch→vote chain that made direct fetch a
+    0.915x loss at G=1 (§9j spec-v1) is hidden here by the other groups'
+    interleaved test math. The carried-vote pipelining of ``_traverse_spec``
+    is kept, so the cursor decision still reads only carries.
+
+    Exactness: each lane's visit sequence is the walk of its own group's
+    union in table order — the same subsequence semantics as any packet
+    width; per-lane accepts are unchanged and images differ from other
+    widths/groupings only in t-tie winners (PERF_NOTES §9d). ``base``
+    (octant table choice) is the caller's full-tile majority vote, shared
+    by all groups.
+    """
+    G = groups
+    P = ox.shape[1]
+    W = P // G
+
+    def split(a):
+        return [a[:, g * W : (g + 1) * W] for g in range(G)]
+
+    oxg, oyg, ozg = split(ox), split(oy), split(oz)
+    dxg, dyg, dzg = split(dx), split(dy), split(dz)
+    tming, tmaxg = split(tmin), split(tmax)
+    predg = split(pred) if pred is not None else [None] * G
+    # per-group octant table choice: each group votes its OWN majority
+    # octant (what a genuinely narrow packet would do; the caller's `base`
+    # is the full-tile vote). Init-only cost; table choice never affects
+    # correctness (octant tables are alternate orderings of the same tree).
+    ntab = total_rows // tbl_rows
+    if group_octant and ntab > 1 and G > 1:
+        bases = [
+            _octant_base(tmaxg[g] >= 0, dxg[g], dyg[g], dzg[g],
+                         tbl_rows, ntab)
+            for g in range(G)
+        ]
+    else:
+        bases = [base] * G
+    ends = [b + tbl_rows for b in bases]
+    invg = [
+        (f32(1.0) / dxg[g], f32(1.0) / dyg[g], f32(1.0) / dzg[g])
+        for g in range(G)
+    ]
+    tog = [
+        (-oxg[g] * invg[g][0], -oyg[g] * invg[g][1], -ozg[g] * invg[g][2])
+        for g in range(G)
+    ]
+
+    def slab_vote(g, rows8, best_t, active_s):
+        """Descend vote (8,1) for the row in rows8 against group g."""
+        inv_dx, inv_dy, inv_dz = invg[g]
+        tox, toy, toz = tog[g]
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, W))
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        is_prim_s = rows8[:, 9:10] >= f32(0.0)  # (8,1)
+        ax = v0x * inv_dx + tox
+        bx = v1x * inv_dx + tox
+        ay = v0y * inv_dy + toy
+        by = v1y * inv_dy + toy
+        az = v0z * inv_dz + toz
+        bz = v1z * inv_dz + toz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+            jnp.minimum(az, bz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+            jnp.maximum(az, bz),
+        )
+        slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tming[g])
+        vote = jnp.any(slab & (active_s & ~is_prim_s), axis=1, keepdims=True)
+        return jnp.where(vote, f32(1.0), f32(0.0))  # f32 carry (Mosaic-safe)
+
+    def cond(c):
+        alive = c["g0"]["cur"] < ends[0]
+        for g in range(1, G):
+            alive = alive | (c[f"g{g}"]["cur"] < ends[g])
+        return jnp.any(alive)
+
+    def body(c):
+        out = {"nit": c["nit"] + f32(1.0)}
+        curs_n = []
+        rows_n = []
+        # pass 1: all cursor decisions ((8,1) carries only) + next-row
+        # fetches — issued up front so each load's latency is buried under
+        # the other groups' pass-2 test math
+        for g in range(G):
+            cg = c[f"g{g}"]
+            rows8 = cg["rows8"]
+            nexit = rows8[:, 10:11].astype(jnp.int32)
+            is_prim_s = rows8[:, 9:10] >= f32(0.0)
+            active = cg["cur"] < ends[g]
+            take_exit = is_prim_s | (cg["desc"] < f32(0.5))
+            nxt = jnp.where(take_exit, nexit, cg["cur"] + 1)
+            if not want_payload:
+                nxt = jnp.where(cg["done"] > f32(0.5), ends[g], nxt)
+            cur_n = jnp.where(active, nxt, cg["cur"])
+            curs_n.append(cur_n)
+            rows_n.append(_fetch_rows8(rows_ref, total_rows, cur_n))
+        # pass 2: per group, primitive test on the current (carried) row,
+        # then the speculative vote for the just-fetched next row
+        for g in range(G):
+            cg = c[f"g{g}"]
+            ng = dict(cg)
+            rows8 = cg["rows8"]
+            is_prim_s = rows8[:, 9:10] >= f32(0.0)
+            active = cg["cur"] < ends[g]
+            if want_payload:
+                best_t = cg["t"]
+            else:
+                best_t = jnp.where(cg["hitf"] > 0, tming[g], tmaxg[g])
+            phit, pt, pu, pv = _prim_test(
+                rows8, oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
+                tming[g], best_t, analytic,
+            )
+            accept = (active & is_prim_s) & phit & (pt < best_t)
+            if want_payload:
+                ng["t"] = jnp.where(accept, pt, cg["t"])
+                ng["u"] = jnp.where(accept, pu, cg["u"])
+                ng["v"] = jnp.where(accept, pv, cg["v"])
+                cur_b = jnp.broadcast_to(cg["cur"], (SUBLANES, W))
+                ng["wrow"] = jnp.where(accept, cur_b, cg["wrow"])
+                bt_next = ng["t"]
+            else:
+                ng["hitf"] = jnp.where(accept, f32(1.0), cg["hitf"])
+                if pred is not None:
+                    ng["orow"] = jnp.where(
+                        accept,
+                        jnp.broadcast_to(cg["cur"], (SUBLANES, W)),
+                        cg["orow"],
+                    )
+                bt_next = jnp.where(ng["hitf"] > 0, tming[g], tmaxg[g])
+                done_v = jnp.all(
+                    (ng["hitf"] > 0) | (tmaxg[g] < 0), axis=1, keepdims=True
+                )
+                ng["done"] = jnp.where(done_v, f32(1.0), f32(0.0))
+            ng["desc"] = slab_vote(g, rows_n[g], bt_next, curs_n[g] < ends[g])
+            ng["cur"] = curs_n[g]
+            ng["rows8"] = rows_n[g]
+            out[f"g{g}"] = ng
+        return out
+
+    init = {"nit": jnp.zeros((SUBLANES, 1), f32)}
+    for g in range(G):
+        rows0 = _fetch_rows8(rows_ref, total_rows, bases[g])
+        gi = dict(cur=bases[g])
+        if analytic:
+            gi.update(_analytic_pretest(
+                analytic, total_rows, oxg[g], oyg[g], ozg[g],
+                dxg[g], dyg[g], dzg[g], tming[g], tmaxg[g], want_payload,
+            ))
+        elif want_payload:
+            gi["t"] = tmaxg[g]
+            gi["u"] = jnp.zeros((SUBLANES, W), f32)
+            gi["v"] = jnp.zeros((SUBLANES, W), f32)
+            gi["wrow"] = jnp.full((SUBLANES, W), total_rows, jnp.int32)
+        else:
+            gi["hitf"] = jnp.zeros((SUBLANES, W), f32)
+        if not want_payload and pred is not None:
+            ph, vrow = _anyhit_pretest(
+                rows_ref, total_rows, analytic, predg[g],
+                oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
+                tming[g], tmaxg[g],
+            )
+            gi["hitf"] = jnp.maximum(gi["hitf"], ph)
+            gi["orow"] = vrow
+        gi["rows8"] = rows0
+        if want_payload:
+            bt0 = gi["t"]
+        else:
+            bt0 = jnp.where(gi["hitf"] > 0, tming[g], tmaxg[g])
+            done0 = jnp.all(
+                (gi["hitf"] > 0) | (tmaxg[g] < 0), axis=1, keepdims=True
+            )
+            gi["done"] = jnp.where(done0, f32(1.0), f32(0.0))
+        gi["desc"] = slab_vote(g, rows0, bt0, bases[g] < ends[g])
+        init[f"g{g}"] = gi
+
+    final = jax.lax.while_loop(cond, body, init)
+    cat = lambda k: jnp.concatenate(
+        [final[f"g{g}"][k] for g in range(G)], axis=1
+    )
+    if not want_payload:
+        outd = dict(hitf=cat("hitf"), nit=final["nit"])
+        if pred is not None:
+            outd["orow"] = cat("orow")
+        return outd
+    walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
+                nit=final["nit"])
+    return _resolve_winners(rows_ref, total_rows, analytic, walk,
+                            hbm_bufs=None)
+
+
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-              prefetch=False, hbm_bufs=None, spec=False, pred=None):
+              prefetch=False, hbm_bufs=None, spec=False, pred=None,
+              groups=1, group_octant=True):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -516,6 +806,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     (``_traverse_spec``); HBM-table walks keep their own DMA pipeline.
     """
     if spec and hbm_bufs is None:
+        if groups > 1:
+            return _traverse_spec_grouped(
+                rows_ref, tbl_rows, total_rows, analytic, base,
+                ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                groups, pred=pred, group_octant=group_octant,
+            )
         return _traverse_spec(
             rows_ref, tbl_rows, total_rows, analytic, base,
             ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload, pred=pred,
@@ -966,6 +1262,8 @@ def _bounce_loop(rows_ref, cfg, init):
     ntab = cfg["ntab"]
     prefetch = cfg.get("prefetch", False)
     spec = cfg.get("spec", False)
+    groups = cfg.get("groups", 1)
+    group_octant = cfg.get("group_octant", True)
     hbm_bufs = cfg.get("hbm_bufs")
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
@@ -1011,6 +1309,8 @@ def _bounce_loop(rows_ref, cfg, init):
             prefetch=prefetch,
             hbm_bufs=hbm_bufs,
             spec=spec,
+            groups=groups,
+            group_octant=group_octant,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -1253,6 +1553,8 @@ def _bounce_loop(rows_ref, cfg, init):
             hbm_bufs=hbm_bufs,
             spec=spec,
             pred=s["srow"].astype(jnp.int32) if shadow_cache else None,
+            groups=groups,
+            group_octant=group_octant,
         )
         unoccluded = sh["hitf"] == 0
 
@@ -1552,6 +1854,8 @@ def render_tiles(
     spec: bool = True,
     shadow_cache: bool = False,
     table_in_hbm: bool = False,
+    groups: int = 1,
+    group_octant: bool = True,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
     depth(N,), state(N,)). N must be a multiple of 8*packet."""
@@ -1559,6 +1863,7 @@ def render_tiles(
     tile = SUBLANES * packet
     if N % tile != 0:
         raise ValueError(f"pad ray count to a multiple of {tile}")
+    _check_groups(packet, groups, spec, table_in_hbm)
     n_tiles = N // tile
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static
@@ -1580,6 +1885,8 @@ def render_tiles(
         spec=spec,
         shadow_cache=shadow_cache,
         hbm=table_in_hbm,
+        groups=groups,
+        group_octant=group_octant,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
@@ -1714,6 +2021,8 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
         "spec",
         "shadow_cache",
         "table_in_hbm",
+        "groups",
+        "group_octant",
     ),
 )
 def render_waves(
@@ -1734,6 +2043,8 @@ def render_waves(
     spec: bool = True,
     shadow_cache: bool = False,
     table_in_hbm: bool = False,
+    groups: int = 1,
+    group_octant: bool = True,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -1758,6 +2069,7 @@ def render_waves(
     """
     N_req = px.shape[0]
     tile = SUBLANES * packet
+    _check_groups(packet, groups, spec, table_in_hbm)
     pad = (-N_req) % tile
     if pad:
         # trace a few dummy rays (duplicates of ray 0) and drop their results:
@@ -1785,6 +2097,8 @@ def render_waves(
         spec=spec,
         shadow_cache=shadow_cache,
         hbm=table_in_hbm,
+        groups=groups,
+        group_octant=group_octant,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)

@@ -249,6 +249,7 @@ def make_sharded_mega_sweep(
     stddev: float,
     interpret: bool = False,
     packet: int = 128,
+    groups: int = 1,
     table_in_hbm: bool = False,
 ):
     """Sharded sweep for the Pallas megakernel driver.
@@ -288,6 +289,7 @@ def make_sharded_mega_sweep(
             max_bounces=max_bounces,
             interpret=interpret,
             packet=packet,
+            groups=groups,
             table_in_hbm=table_in_hbm,
         )
         idx = jax.lax.axis_index(axis)
@@ -351,6 +353,7 @@ class MegaMultiChipRenderer(Renderer):
         c = config
         from hijiki_tpu.render.renderer import (
             MEGA_TABLE_LIMIT_BYTES,
+            resolve_mega_groups,
             resolve_mega_packet,
         )
 
@@ -364,6 +367,11 @@ class MegaMultiChipRenderer(Renderer):
             stddev=c.reconstruction_stddev,
             interpret=interpret,
             packet=resolve_mega_packet(c.mega_packet),
+            groups=resolve_mega_groups(
+                getattr(c, "mega_groups", 0),
+                resolve_mega_packet(c.mega_packet),
+                compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
+            ),
             table_in_hbm=compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
         )
 

@@ -72,6 +72,10 @@ class RenderConfig:
     # (1024 on TPU — measured 1.59x over 128 — else 128). Estimator is
     # width-independent: per-lane RNG/radiance are identical for any width.
     mega_packet: int = 0
+    # independent cursor groups per megakernel tile (the grouped spec
+    # walker: smaller per-cursor row unions at the same issue width);
+    # 0 = auto (measured best on TPU, 1 elsewhere)
+    mega_groups: int = 0
 
 
 @partial(
@@ -91,6 +95,7 @@ class RenderConfig:
         "traversal",
         "fixed_albedo",
         "mega_packet",
+        "mega_groups",
         "mega_table_hbm",
         "seeds_from_blocks",
     ),
@@ -114,6 +119,7 @@ def render_sweep(
     traversal: str = "",
     fixed_albedo: bool = False,
     mega_packet: int = 128,
+    mega_groups: int = 1,
     mega_table_hbm: bool = False,
     seeds_from_blocks: bool = False,
 ):
@@ -154,6 +160,7 @@ def render_sweep(
             max_bounces=max_bounces,
             lane_sort=sort_lanes,
             packet=mega_packet,
+            groups=mega_groups,
             table_in_hbm=mega_table_hbm,
         )
         total = t_.reshape(H, W, 3)
@@ -306,6 +313,32 @@ def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     return MEGA_PACKET_TPU
 
 
+def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
+    """0 = auto: MEGA_GROUPS_TPU independent cursor groups on TPU when the
+    packet is wide enough and the table is VMEM-resident (the grouped spec
+    walker trades per-iteration fetch issues for smaller per-cursor row
+    unions — measured win, docs/PERF_NOTES.md §9m), 1 elsewhere.
+    HIJIKI_MEGA_GROUPS overrides the auto choice (experiments)."""
+    import os
+
+    if requested:
+        return requested
+    env = os.environ.get("HIJIKI_MEGA_GROUPS")
+    if env:
+        return int(env)
+    if table_hbm:
+        return 1  # the HBM DMA pipeline is single-cursor
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return 1
+    from hijiki_tpu.ops.pallas_megakernel import MEGA_GROUPS_TPU, PACKET
+
+    if packet % (MEGA_GROUPS_TPU * PACKET) != 0:
+        return max(1, packet // PACKET)
+    return MEGA_GROUPS_TPU
+
+
 class Renderer:
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
         self._mega_table_hbm = False
@@ -344,6 +377,11 @@ class Renderer:
             traversal=c.traversal,
             fixed_albedo=c.fixed_albedo,
             mega_packet=resolve_mega_packet(c.mega_packet, c.sort_lanes),
+            mega_groups=resolve_mega_groups(
+                c.mega_groups,
+                resolve_mega_packet(c.mega_packet, c.sort_lanes),
+                self._mega_table_hbm,
+            ),
             mega_table_hbm=self._mega_table_hbm,
         )
 

@@ -114,6 +114,51 @@ def test_spec_walker_bitwise_identical(setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_grouped_walker_matches_single_group(setup):
+    """The grouped spec walker (G independent cursor groups per tile,
+    ops/pallas_megakernel._traverse_spec_grouped) must reproduce the
+    single-group walk: per-lane accepts are packet-layout independent, so
+    every output — radiance, AOVs, RNG states — matches exactly on this
+    scene (only t-tie winners could ever differ between groupings)."""
+    from hijiki_tpu.ops.pallas_megakernel import render_waves
+
+    cs, W, H, px, py, seeds = setup
+    a = render_waves(
+        cs, px, py, seeds, width=W, height=H, max_bounces=12,
+        interpret=True, packet=256, groups=1,
+    )
+    b = render_waves(
+        cs, px, py, seeds, width=W, height=H, max_bounces=12,
+        interpret=True, packet=256, groups=2,
+    )
+    # [0] total, [1] normal, [2] depth, [7] albedo: the walks are the same
+    # per-lane math, but grouped/ungrouped are distinct XLA programs and the
+    # CPU backend may contract (FMA/fuse) them differently, so demand
+    # near-bitwise agreement: every element within 1-ULP-scale tolerance AND
+    # >= 99% exactly equal (a genuine estimator divergence reroutes whole
+    # paths — radiance deltas O(0.1) across many lanes — and fails both).
+    # [6] rows counts walk ITERATIONS (one row per group per iter), so it
+    # legitimately shrinks with groups and is excluded.
+    for i in (0, 1, 2, 7):
+        u, v = np.asarray(a[i]), np.asarray(b[i])
+        np.testing.assert_allclose(u, v, atol=1e-6, rtol=1e-5)
+        assert (u == v).mean() > 0.99
+    assert float(np.asarray(b[6]).sum()) < float(np.asarray(a[6]).sum())
+
+
+def test_grouped_walker_validation():
+    """groups>1 with an incompatible packet/spec/hbm config raises early."""
+    from hijiki_tpu.ops.pallas_megakernel import _check_groups
+
+    _check_groups(1024, 4, True, False)  # valid
+    with pytest.raises(ValueError):
+        _check_groups(256, 4, True, False)  # 4 groups need packet >= 512
+    with pytest.raises(ValueError):
+        _check_groups(512, 4, False, False)  # needs spec walker
+    with pytest.raises(ValueError):
+        _check_groups(1024, 4, True, True)  # HBM tables are single-cursor
+
+
 def test_render_waves_matches_single_launch(setup):
     """Phased (compaction+sort) launches == one launch, path for path."""
     from hijiki_tpu.ops.pallas_megakernel import render_tiles, render_waves
