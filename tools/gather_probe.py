@@ -78,7 +78,10 @@ def _kernel(tbl_ref, idx_ref, out_ref, *, iters, mode, K):
     out_ref[1] = final["idx"].astype(f32)
 
 
-def run(tbl, idx, iters, mode, K):
+def build(iters, mode, K):
+    """One pallas_call callable per (iters, mode, K) — rebuilt partials
+    defeat the executable cache and time COMPILES instead of runs
+    (measured: negative slopes, PERF_NOTES §8b symptom)."""
     return pl.pallas_call(
         functools.partial(_kernel, iters=iters, mode=mode, K=K),
         in_specs=[
@@ -87,7 +90,7 @@ def run(tbl, idx, iters, mode, K):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, 8, 128), f32),
-    )(tbl, idx)
+    )
 
 
 def main():
@@ -99,15 +102,14 @@ def main():
 
     for mode in ("const", "gather1", "gatherK"):
         try:
+            fns = {it: build(it, mode, K) for it in (iters, iters * 3)}
             lo = hi = None
-            for it in (iters, iters * 3):
+            for it, fn in fns.items():
                 t_best = 1e9
-                r = run(tbl, idx, it, mode, K)
-                float(jnp.sum(r))  # compile+warm
+                float(jnp.sum(fn(tbl, idx)))  # compile+warm
                 for _ in range(5):
                     t0 = time.monotonic()
-                    r = run(tbl, idx, it, mode, K)
-                    float(jnp.sum(r))
+                    float(jnp.sum(fn(tbl, idx)))
                     t_best = min(t_best, time.monotonic() - t0)
                 if it == iters:
                     lo = t_best
