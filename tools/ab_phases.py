@@ -39,19 +39,21 @@ def main():
         (np.arange(H * W, dtype=np.uint64) * 2654435761 % (1 << 32)).astype(np.uint32)
     )
 
+    import os
+    G = int(os.environ.get("AB_GROUPS", "4"))
     variants = {
         "oct,phases=5-12-48": (cs_oct, (5, 12, 48), (2, 4, 4)),
         "one,phases=5-12-48": (cs_one, (5, 12, 48), (2, 4, 4)),
         "oct,phases=4-10-30": (cs_oct, (4, 10, 30), (2, 4, 4)),
-        "oct,phases=6-16-64": (cs_oct, (6, 16, 64), (2, 4, 4)),
-        "oct,phases=8-only": (cs_oct, (8,), (4,)),
+        "oct,phases=3-8-20-48": (cs_oct, (3, 8, 20, 48), (2, 2, 4, 4)),
+        "oct,phases=2-5-12-48": (cs_oct, (2, 5, 12, 48), (2, 2, 4, 4)),
         "oct,shrink=4-4-4": (cs_oct, (5, 12, 48), (4, 4, 4)),
     }
 
     def run(cs, pb, ps):
         t, *_ = render_waves(
             cs, px, py, seeds, width=W, height=H, max_bounces=1000,
-            phase_bounces=pb, phase_shrink=ps, packet=P,
+            phase_bounces=pb, phase_shrink=ps, packet=P, groups=G,
         )
         return float(jnp.sum(t))
 
