@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
         "walker: smaller per-cursor row unions); 0 = auto",
     )
     p.add_argument(
+        "--chain-sweeps",
+        type=int,
+        default=0,
+        help="Sweep samples chained per megakernel launch (in-kernel lane "
+        "respawn); 1 = off, 0 = auto",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -159,6 +166,7 @@ def main(argv=None) -> int:
         fixed_albedo=args.fixed_albedo,
         mega_packet=args.mega_packet,
         mega_groups=args.mega_groups,
+        chain_sweeps=args.chain_sweeps,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":

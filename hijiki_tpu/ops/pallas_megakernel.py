@@ -57,12 +57,19 @@ MEGA_PACKET_TPU = 1024
 # full trace, P=1024, bitwise-equal sums): G=2 1.03x, G=4 1.17x, G=8 0.79x
 # (per-group fetch issues overtake the union shrink) — see PERF_NOTES §9m.
 MEGA_GROUPS_TPU = 4
+# Sweep samples per chained launch on TPU (render_waves_chained; auto
+# default used by render.renderer.resolve_chain_sweeps).
+CHAIN_SWEEPS_TPU = 4
 SUBLANES = 8
 # HBM-resident tables pad rows to one full lane tile: Mosaic DMA slices
 # must be 128-aligned in the lane dimension
 HBM_ROW_WIDTH = 128
 TRACE_COLS = 32
 TILE = SUBLANES * PACKET
+# per-sweep channels flushed by the chained kernel as samples finish
+# (same order as the wavefront result buffer):
+# Lr,Lg,Lb, n1,n2,n3, depth, segs, rows, ar,ag,ab
+CHAIN_OUT_CH = 12
 
 KIND_SPHERE = 0.0
 KIND_QUAD = 1.0
@@ -1201,6 +1208,7 @@ _SORT_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
     "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "segs", "pid",
+    "samp",
 ]
 
 
@@ -1269,6 +1277,16 @@ def _bounce_loop(rows_ref, cfg, init):
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
     lane_sort = cfg.get("lane_sort", False)
+    # in-kernel sample chaining (chain > 1, phase-0 launches only): a lane
+    # whose path dies respawns on the SAME pixel's next sweep sample instead
+    # of idling until tile retirement; finished samples flush to per-sweep
+    # out images as they die. Estimator-exact: every (pixel, sweep) sample
+    # consumes its own seed/jitter/RNG stream exactly as an unchained sweep
+    # would. Lanes whose CURRENT path reaches max_bounces freeze per-lane
+    # (tmax < 0 masks them out of walks and shading) and exit to the phase
+    # system with their in-flight state, so no sample is ever dropped.
+    chain = cfg.get("chain", 1)
+    chain_refs = cfg.get("chain_refs")
     # shadow-ray occlusion cache (VMEM tables only): per-lane predicted
     # occluder row, verified before each shadow walk (_anyhit_pretest).
     # In-kernel state only — resets at phase boundaries (prediction loss
@@ -1284,6 +1302,11 @@ def _bounce_loop(rows_ref, cfg, init):
     ) * pshape[1] + jax.lax.broadcasted_iota(jnp.int32, pshape, 1)
 
     def cond(s):
+        if chain > 1:
+            # chained lanes never carry a path at the cap (it is parked to
+            # its state slot and the lane respawns — see the chain block),
+            # so plain any-alive is the full condition
+            return jnp.any(s["alive"] > 0)
         # max over lanes: resumed tiles mix stale dead lanes (smaller bounce)
         # with alive lanes that all share the phase-start bounce count
         return jnp.any(s["alive"] > 0) & (jnp.max(s["bounce"]) < max_bounces)
@@ -1725,7 +1748,72 @@ def _bounce_loop(rows_ref, cfg, init):
             ag=ag,
             ab=ab,
             pid=s["pid"],
+            samp=s["samp"],
         )
+        if chain > 1:
+            S = chain
+            pxs_ref, pys_ref, seeds_ref, co_ref, cst_ref, crng_ref = chain_refs
+            samp = s["samp"]
+            # park paths that reached the per-sample bounce cap: write the
+            # FULL path state to the lane's (sample) state slot — the
+            # compaction phases continue it — and free the lane so it can
+            # keep chaining. No sample is ever dropped or restarted.
+            frz = (out["alive"] > 0) & (out["bounce"] >= max_bounces)
+            for si in range(S):
+                selp = frz & (samp == f32(si))
+                for ci, ch in enumerate(_STATE_CH):
+                    v = out[ch]
+                    if v.dtype != jnp.float32:
+                        v = v.astype(f32)
+                    slot = si * N_STATE + ci
+                    cst_ref[slot] = jnp.where(selp, v, cst_ref[slot])
+                crng_ref[si] = jnp.where(selp, out["state"], crng_ref[si])
+            out["alive"] = jnp.where(frz, jnp.int32(0), out["alive"])
+            # flush samples that died THIS iteration into their sweep image
+            # (parked paths flush later, via the phase commit)
+            deadx = out["alive"] == 0
+            flushm = alive & deadx & ~frz
+            vals = [out["Lr"], out["Lg"], out["Lb"], out["n1"], out["n2"],
+                    out["n3"], out["depth"], out["segs"], out["rows"],
+                    out["ar"], out["ag"], out["ab"]]
+            for si in range(S):
+                sel = flushm & (samp == f32(si))
+                for ci, v in enumerate(vals):
+                    slot = si * CHAIN_OUT_CH + ci
+                    co_ref[slot] = jnp.where(sel, v, co_ref[slot])
+            # respawn dead lanes that still have sweep samples to trace:
+            # fresh camera ray + seed for the SAME pixel's next sample
+            resp = deadx & (samp < f32(S - 1))
+            sampn = jnp.where(resp, samp + f32(1.0), samp)
+            px_n = pxs_ref[1]
+            py_n = pys_ref[1]
+            seed_n = seeds_ref[1]
+            for si in range(2, S):
+                m = sampn == f32(si)
+                px_n = jnp.where(m, pxs_ref[si], px_n)
+                py_n = jnp.where(m, pys_ref[si], py_n)
+                seed_n = jnp.where(m, seeds_ref[si], seed_n)
+            ndx, ndy, ndz = _camera_ray(px_n, py_n, cfg)
+            ccx, ccy, ccz = cfg["camera"][0:3]
+            out["samp"] = sampn
+            out["alive"] = jnp.where(resp, jnp.int32(1), out["alive"])
+            out["bounce"] = jnp.where(resp, jnp.int32(0), out["bounce"])
+            out["ox"] = jnp.where(resp, f32(ccx), out["ox"])
+            out["oy"] = jnp.where(resp, f32(ccy), out["oy"])
+            out["oz"] = jnp.where(resp, f32(ccz), out["oz"])
+            out["dx"] = jnp.where(resp, ndx, out["dx"])
+            out["dy"] = jnp.where(resp, ndy, out["dy"])
+            out["dz"] = jnp.where(resp, ndz, out["dz"])
+            out["tmin"] = jnp.where(resp, f32(M_EPS), out["tmin"])
+            out["state"] = jnp.where(resp, _wang_hash(seed_n), out["state"])
+            one = f32(1.0)
+            zero = f32(0.0)
+            for ch in ("tr", "tg", "tb"):
+                out[ch] = jnp.where(resp, one, out[ch])
+            for ch in ("er", "eg", "eb", "Lr", "Lg", "Lb", "depth",
+                       "n1", "n2", "n3", "ar", "ag", "ab", "segs", "rows"):
+                out[ch] = jnp.where(resp, zero, out[ch])
+            out["wd"] = jnp.where(resp, jnp.int32(1), out["wd"])
         if shadow_cache:
             # keep the last verified/accepted occluder as next prediction;
             # lanes that shot no shadow ray keep their previous prediction
@@ -1743,13 +1831,12 @@ def _bounce_loop(rows_ref, cfg, init):
     return final
 
 
-def _camera_init(px, py, seed, cfg):
-    """Initial per-tile path state from camera rays (render.glsl:26-36)."""
+def _camera_ray(px, py, cfg):
+    """Camera ray direction for jittered pixel coords (render.glsl:26-36),
+    quaternion rotation baked to a compile-time matrix. Shared by the tile
+    init and the in-kernel sample-chaining respawn."""
     cam = cfg["camera"]  # (pos3, quat4, fov)
     W, H = cfg["width"], cfg["height"]
-
-
-    # --- camera raygen (shader/render.glsl:26-36), rotation matrix baked ---
     cx, cy, cz, qx, qy, qz, qw, fov = cam
     # quaternion -> rotation matrix (python floats)
     R00 = 1 - 2 * (qy * qy + qz * qz)
@@ -1768,6 +1855,13 @@ def _camera_init(px, py, seed, cfg):
     dyu = f32(R10) * lx + f32(R11) * ly - f32(R12)
     dzu = f32(R20) * lx + f32(R21) * ly - f32(R22)
     inv_len = jax.lax.rsqrt(dxu * dxu + dyu * dyu + dzu * dzu)
+    return dxu * inv_len, dyu * inv_len, dzu * inv_len
+
+
+def _camera_init(px, py, seed, cfg):
+    """Initial per-tile path state from camera rays (render.glsl:26-36)."""
+    cx, cy, cz = cfg["camera"][0:3]
+    ndx, ndy, ndz = _camera_ray(px, py, cfg)
 
     state0 = _wang_hash(seed)
 
@@ -1784,9 +1878,9 @@ def _camera_init(px, py, seed, cfg):
         ox=jnp.full(px.shape, f32(cx)),
         oy=jnp.full(px.shape, f32(cy)),
         oz=jnp.full(px.shape, f32(cz)),
-        dx=dxu * inv_len,
-        dy=dyu * inv_len,
-        dz=dzu * inv_len,
+        dx=ndx,
+        dy=ndy,
+        dz=ndz,
         tmin=jnp.full(px.shape, f32(M_EPS)),
         state=state0,
         tr=jnp.ones(px.shape, f32),
@@ -1807,6 +1901,10 @@ def _camera_init(px, py, seed, cfg):
         ar=jnp.zeros(px.shape, f32),
         ag=jnp.zeros(px.shape, f32),
         ab=jnp.zeros(px.shape, f32),
+        # current sweep-sample index (chained launches advance it; plain
+        # launches carry it at 0). f32 like segs: varying layout + exact
+        # small ints without i32 relayout limits
+        samp=px * f32(0.0),
     )
 
     return init
@@ -1929,6 +2027,7 @@ _STATE_CH = [
     "alive", "bounce", "ox", "oy", "oz", "dx", "dy", "dz", "tmin",
     "tr", "tg", "tb", "er", "eg", "eb", "Lr", "Lg", "Lb", "wd",
     "depth", "n1", "n2", "n3", "rows", "ar", "ag", "ab", "segs",
+    "samp",
 ]
 N_STATE = len(_STATE_CH)
 
@@ -1964,6 +2063,29 @@ def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cf
     _with_hbm_bufs(cfg, go)
 
 
+def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
+                              st_out, rng_out, chain_out, *, cfg):
+    """Chained camera launch: trace cfg['chain'] sweep samples per lane,
+    respawning dead lanes onto the same pixel's next sample (occupancy —
+    see _bounce_loop's chain block). Finished samples flush to per-sweep
+    images in ``chain_out``; paths that reach the bounce cap are parked to
+    their (sample, lane) slot in ``st_out``/``rng_out`` (S state slots per
+    lane, zero = no survivor) and the lane keeps chaining. The loop ends
+    only when every lane has finished or parked ALL its samples."""
+
+    def go(cfg):
+        chain_out[...] = jnp.zeros(chain_out.shape, f32)
+        st_out[...] = jnp.zeros(st_out.shape, f32)
+        rng_out[...] = jnp.zeros(rng_out.shape, jnp.uint32)
+        init = _camera_init(pxs_ref[0], pys_ref[0], seeds_ref[0], cfg)
+        cfg2 = dict(cfg, chain_refs=(
+            pxs_ref, pys_ref, seeds_ref, chain_out, st_out, rng_out
+        ))
+        _bounce_loop(rows_ref, cfg2, init)
+
+    _with_hbm_bufs(cfg, go)
+
+
 def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
     """Resume launch: continue paths from a packed state."""
 
@@ -1975,7 +2097,8 @@ def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
     _with_hbm_bufs(cfg, go)
 
 
-def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
+def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret,
+                         chain_ch=0, state_slots=1):
     packet = ins[0].shape[-1]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY if cfg.get("hbm") else pltpu.VMEM)
@@ -1990,20 +2113,108 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret):
             in_specs.append(
                 pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             )
+    out_specs = [
+        pl.BlockSpec((None, state_slots * N_STATE, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, state_slots, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        sds((n_tiles, state_slots * N_STATE, SUBLANES, packet), jnp.float32, ins[0]),
+        sds((n_tiles, state_slots, SUBLANES, packet), jnp.uint32, ins[0]),
+    ]
+    if chain_ch:
+        out_specs.append(
+            pl.BlockSpec((None, chain_ch, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            sds((n_tiles, chain_ch, SUBLANES, packet), jnp.float32, ins[0])
+        )
     return pl.pallas_call(
         functools.partial(kernel, cfg=cfg),
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((None, N_STATE, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, SUBLANES, packet), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            sds((n_tiles, N_STATE, SUBLANES, packet), jnp.float32, ins[0]),
-            sds((n_tiles, 1, SUBLANES, packet), jnp.uint32, ins[0]),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(rows, *ins)
+
+
+def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
+                           orig, res, res_state, packet, interpret):
+    """The wavefront's survivor phases: compact + coherence-sort the alive
+    lanes, resume the megakernel at each cap, and scatter finished results
+    into ``res``/``res_state`` at ``orig``. Shared by render_waves (orig =
+    lane index) and render_waves_chained (orig = samp * N + lane).
+    Returns (res, res_state, overflow)."""
+    tile = SUBLANES * packet
+
+    def tiles_of(n):
+        return n // tile
+
+    def commit(res, res_state, flat, rngf, orig):
+        vals = jnp.stack(
+            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
+        )
+        res = res.at[:, orig].set(vals)
+        res_state = res_state.at[orig].set(rngf)
+        return res, res_state
+
+    def unpack(st, rng_st, n):
+        flat = jnp.moveaxis(st, 1, 0).reshape(N_STATE, n)
+        return flat, rng_st.reshape(n)
+
+    overflow = jnp.int32(0)
+    n_lanes = flat.shape[1]
+    root_min = scene.bvh_aabb_min[0]
+    root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
+
+    for pi, cap in enumerate(caps):
+        n_next = max(tile, -(-(n_lanes // shrinks[pi]) // tile) * tile)
+        alive = flat[0] > 0
+        alive_i = alive.astype(jnp.int32)
+        n_alive = jnp.sum(alive_i)
+        overflow = overflow + jnp.maximum(n_alive - n_next, 0)
+        if n_lanes > 65536:
+            # cumsum-based stable partition (argsort at this size is too slow
+            # on this stack): survivors keep order, dead lanes go past the end
+            rank_alive = jnp.cumsum(alive_i) - 1
+            rank_dead = jnp.cumsum(1 - alive_i) - 1 + n_alive
+            pos = jnp.where(alive, rank_alive, rank_dead)
+            inv = jnp.zeros(n_lanes, jnp.int32).at[pos].set(
+                jnp.arange(n_lanes, dtype=jnp.int32)
+            )
+            order = inv[:n_next]
+        else:
+            # small survivor sets: full coherence sort (origin cell + octant)
+            qx = jnp.clip(((flat[2] - root_min[0]) / root_span[0] * 8).astype(jnp.int32), 0, 7)
+            qy = jnp.clip(((flat[3] - root_min[1]) / root_span[1] * 8).astype(jnp.int32), 0, 7)
+            qz = jnp.clip(((flat[4] - root_min[2]) / root_span[2] * 8).astype(jnp.int32), 0, 7)
+            octant = (
+                (flat[5] > 0).astype(jnp.int32)
+                + 2 * (flat[6] > 0).astype(jnp.int32)
+                + 4 * (flat[7] > 0).astype(jnp.int32)
+            )
+            key = jnp.where(alive, octant + 8 * (qx + 8 * (qy + 8 * qz)), jnp.int32(1 << 20))
+            order = jnp.argsort(key)[:n_next]
+        flat = flat[:, order]
+        rngf = rngf[order]
+        orig = orig[order]
+
+        st_in = jnp.moveaxis(
+            flat.reshape(N_STATE, tiles_of(n_next), SUBLANES, packet), 0, 1
+        )
+        rng_in = rngf.reshape(tiles_of(n_next), 1, SUBLANES, packet)
+        st, rng_st = _launch_state_kernel(
+            _megakernel_resume,
+            dict(base_cfg, max_bounces=cap),
+            rows,
+            [st_in, rng_in],
+            tiles_of(n_next),
+            interpret,
+        )
+        flat, rngf = unpack(st, rng_st, n_next)
+        res, res_state = commit(res, res_state, flat, rngf, orig)
+        n_lanes = n_next
+    return res, res_state, overflow
 
 
 @functools.partial(
@@ -2145,61 +2356,176 @@ def render_waves(
     )
     res_state = rngf
 
-    overflow = jnp.int32(0)
-    n_lanes = N
-    root_min = scene.bvh_aabb_min[0]
-    root_span = jnp.maximum(scene.bvh_aabb_max[0] - root_min, 1e-6)
-
-    for pi, cap in enumerate(caps[1:]):
-        n_next = max(tile, -(-(n_lanes // shrinks[pi]) // tile) * tile)
-        alive = flat[0] > 0
-        alive_i = alive.astype(jnp.int32)
-        n_alive = jnp.sum(alive_i)
-        overflow = overflow + jnp.maximum(n_alive - n_next, 0)
-        if n_lanes > 65536:
-            # cumsum-based stable partition (argsort at this size is too slow
-            # on this stack): survivors keep order, dead lanes go past the end
-            rank_alive = jnp.cumsum(alive_i) - 1
-            rank_dead = jnp.cumsum(1 - alive_i) - 1 + n_alive
-            pos = jnp.where(alive, rank_alive, rank_dead)
-            inv = jnp.zeros(n_lanes, jnp.int32).at[pos].set(
-                jnp.arange(n_lanes, dtype=jnp.int32)
-            )
-            order = inv[:n_next]
-        else:
-            # small survivor sets: full coherence sort (origin cell + octant)
-            qx = jnp.clip(((flat[2] - root_min[0]) / root_span[0] * 8).astype(jnp.int32), 0, 7)
-            qy = jnp.clip(((flat[3] - root_min[1]) / root_span[1] * 8).astype(jnp.int32), 0, 7)
-            qz = jnp.clip(((flat[4] - root_min[2]) / root_span[2] * 8).astype(jnp.int32), 0, 7)
-            octant = (
-                (flat[5] > 0).astype(jnp.int32)
-                + 2 * (flat[6] > 0).astype(jnp.int32)
-                + 4 * (flat[7] > 0).astype(jnp.int32)
-            )
-            key = jnp.where(alive, octant + 8 * (qx + 8 * (qy + 8 * qz)), jnp.int32(1 << 20))
-            order = jnp.argsort(key)[:n_next]
-        flat = flat[:, order]
-        rngf = rngf[order]
-        orig = orig[order]
-
-        st_in = jnp.moveaxis(
-            flat.reshape(N_STATE, tiles_of(n_next), SUBLANES, packet), 0, 1
-        )
-        rng_in = rngf.reshape(tiles_of(n_next), 1, SUBLANES, packet)
-        st, rng_st = _launch_state_kernel(
-            _megakernel_resume,
-            dict(base_cfg, max_bounces=cap),
-            rows,
-            [st_in, rng_in],
-            tiles_of(n_next),
-            interpret,
-        )
-        flat, rngf = unpack(st, rng_st, n_next)
-        res, res_state = commit(res, res_state, flat, rngf, orig)
-        n_lanes = n_next
+    res, res_state, overflow = _run_compaction_phases(
+        scene, base_cfg, rows, caps[1:], shrinks, flat, rngf, orig, res,
+        res_state, packet, interpret,
+    )
 
     total = jnp.stack([res[0], res[1], res[2]], axis=-1)[:N_req]
     normal = jnp.stack([res[3], res[4], res[5]], axis=-1)[:N_req]
     albedo = jnp.stack([res[9][:N_req], res[10][:N_req], res[11][:N_req]], axis=-1)
     return (total, normal, res[6][:N_req], res_state[:N_req], overflow,
             res[7][:N_req], res[8][:N_req], albedo)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "max_bounces",
+        "chain_cap",
+        "phase_bounces",
+        "phase_shrink",
+        "interpret",
+        "packet",
+        "prefetch",
+        "spec",
+        "shadow_cache",
+        "table_in_hbm",
+        "groups",
+        "group_octant",
+    ),
+)
+def render_waves_chained(
+    scene: CompiledScene,
+    pxs,  # (S, N) f32 jittered pixel x per sweep
+    pys,  # (S, N) f32
+    seeds,  # (S, N) u32 per-(sweep, pixel) seeds
+    *,
+    width: int,
+    height: int,
+    max_bounces: int = 1000,
+    chain_cap: int = 8,
+    phase_bounces: tuple = (48,),
+    phase_shrink: tuple = (4,),
+    interpret: bool = False,
+    packet: int = PACKET,
+    prefetch: bool = True,
+    spec: bool = True,
+    shadow_cache: bool = False,
+    table_in_hbm: bool = False,
+    groups: int = 1,
+    group_octant: bool = True,
+):
+    """Chained phased render: S sweep samples per pixel in ONE phase-0
+    launch with in-kernel lane respawn (occupancy: a dead path's lane
+    immediately starts the pixel's next sweep sample instead of idling
+    until tile retirement), then the standard compaction phases for the
+    rare paths frozen at ``chain_cap`` bounces. No sample is ever dropped:
+    frozen lanes exit with full state and continue under
+    ``phase_bounces``/``max_bounces`` caps exactly like render_waves
+    survivors.
+
+    Estimator-exact vs S separate ``render_waves`` sweeps: every
+    (pixel, sweep) sample consumes the identical seed/jitter/RNG stream;
+    only the packet composition differs (t-tie class, PERF_NOTES §9d).
+
+    Returns per-sweep images: total (S,N,3), normal (S,N,3), depth (S,N),
+    state (S,N) u32 (final lane RNG at each sample's completion slot;
+    diagnostics), overflow (), bounces (S,N), rows (N,) (tile-iteration
+    counter, whole-launch, returned once), albedo (S,N,3).
+    """
+    S, N_req = pxs.shape
+    if S < 2:
+        raise ValueError("render_waves_chained needs >= 2 sweeps; use render_waves")
+    _check_groups(packet, groups, spec, table_in_hbm)
+    tile = SUBLANES * packet
+    pad = (-N_req) % tile
+    if pad:
+        padf = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, :1], (S, pad))], axis=1
+        )
+        pxs, pys, seeds = padf(pxs), padf(pys), padf(seeds)
+    N = pxs.shape[1]
+    rows = scene.trace_rows_mega
+    ntab = scene.mega_num_tables_static
+
+    base_cfg = dict(
+        tbl_rows=rows.shape[0] // ntab,
+        total_rows=rows.shape[0],
+        ntab=ntab,
+        camera=scene.camera_static,
+        width=width,
+        height=height,
+        emitters=scene.emitter_bake_static,
+        materials=scene.material_bake_static,
+        bbox=scene.bbox_static,
+        analytic=scene.analytic_bake_static,
+        lane_sort=False,
+        prefetch=prefetch,
+        spec=spec,
+        shadow_cache=shadow_cache,
+        hbm=table_in_hbm,
+        groups=groups,
+        group_octant=group_octant,
+        chain=S,
+    )
+    if table_in_hbm:
+        rows = _pad_hbm_rows(rows)
+
+    nt = N // tile
+
+    def to4(a):
+        # (S, N) -> (n_tiles, S, 8, P): each tile sees its lanes' S sweeps
+        return jnp.moveaxis(a.reshape(S, nt, SUBLANES, packet), 0, 1)
+
+    cap0 = min(chain_cap, max_bounces)
+    st, rng_st, chain_imgs = _launch_state_kernel(
+        _megakernel_start_chained,
+        dict(base_cfg, max_bounces=cap0),
+        rows,
+        [to4(pxs), to4(pys), to4(seeds)],
+        nt,
+        interpret,
+        chain_ch=S * CHAIN_OUT_CH,
+        state_slots=S,
+    )
+    # parked-path pool: (nt, S*N_STATE, 8, P) -> (N_STATE, S*N), slot
+    # s*N + lane (matches the res layout below); most slots are dead zeros
+    flat = jnp.transpose(
+        st.reshape(nt, S, N_STATE, SUBLANES, packet), (2, 1, 0, 3, 4)
+    ).reshape(N_STATE, S * N)
+    rngf = jnp.moveaxis(rng_st, 1, 0).reshape(S * N)
+    # (nt, S*12, 8, P) -> (S, 12, N) -> (12, S*N): slot s*N + lane, channel
+    # order already matches _run_compaction_phases' commit layout
+    # [Lr,Lg,Lb,n1,n2,n3,depth,segs,rows,ar,ag,ab]
+    ci = jnp.moveaxis(chain_imgs, 1, 0).reshape(S, CHAIN_OUT_CH, N)
+    res = jnp.moveaxis(ci, 0, 1).reshape(12, S * N)
+    # dead pool slots (sample finished in-kernel, flushed via chain_out)
+    # must never commit: point them out of bounds — JAX scatter drops OOB
+    # updates — so only genuinely parked paths overwrite res
+    orig = jnp.where(
+        flat[0] > 0,
+        jnp.arange(S * N, dtype=jnp.int32),
+        jnp.int32(S * N),
+    )
+    res_state = rngf
+
+    caps = [min(c, max_bounces) for c in phase_bounces if c > cap0]
+    if not caps or caps[-1] != max_bounces:
+        caps = caps + [max_bounces]
+    shrinks = list(phase_shrink) + [4] * (len(caps) - len(phase_shrink))
+    res, res_state, overflow = _run_compaction_phases(
+        scene, base_cfg_nochain(base_cfg), rows, caps, shrinks, flat, rngf,
+        orig, res, res_state, packet, interpret,
+    )
+
+    def per_sweep(ch):
+        return res[ch].reshape(S, N)[:, :N_req]
+
+    total = jnp.stack([per_sweep(0), per_sweep(1), per_sweep(2)], axis=-1)
+    normal = jnp.stack([per_sweep(3), per_sweep(4), per_sweep(5)], axis=-1)
+    albedo = jnp.stack([per_sweep(9), per_sweep(10), per_sweep(11)], axis=-1)
+    state = res_state.reshape(S, N)[:, :N_req]
+    return (total, normal, per_sweep(6), state, overflow, per_sweep(7),
+            res[8].reshape(S, N).sum(axis=0)[:N_req], albedo)
+
+
+def base_cfg_nochain(cfg):
+    """Resume phases run unchained (survivor lanes each finish ONE sample;
+    respawn would need per-lane pixel->seed/jitter lookups the compacted
+    tiles don't carry — and frozen survivors are rare by construction)."""
+    out = dict(cfg)
+    out.pop("chain", None)
+    return out

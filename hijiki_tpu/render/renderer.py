@@ -76,6 +76,12 @@ class RenderConfig:
     # walker: smaller per-cursor row unions at the same issue width);
     # 0 = auto (measured best on TPU, 1 elsewhere)
     mega_groups: int = 0
+    # sweep samples chained per megakernel launch (in-kernel lane respawn:
+    # a dead path's lane immediately starts the pixel's next sweep sample —
+    # phase-0 occupancy + one launch per chunk instead of per sweep);
+    # 1 = off, 0 = auto (on for the TPU mega driver). Estimator-exact:
+    # every (pixel, sweep) sample consumes its unchained RNG stream.
+    chain_sweeps: int = 0
 
 
 @partial(
@@ -259,6 +265,134 @@ def render_sweep(
 from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_BYTES
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "block_size",
+        "max_bounces",
+        "stddev",
+        "chain_cap",
+        "mega_packet",
+        "mega_groups",
+        "mega_table_hbm",
+    ),
+)
+def render_sweeps_chained(
+    scene: CompiledScene,
+    block_seeds,  # (S, bh, bw) u32 scheduler block seeds per sweep
+    sample_offsets,  # (S, 2) f32 per-sweep jitter
+    *,
+    width: int,
+    height: int,
+    block_size: int,
+    max_bounces: int,
+    stddev: float,
+    chain_cap: int = 8,
+    mega_packet: int = 128,
+    mega_groups: int = 1,
+    mega_table_hbm: bool = False,
+):
+    """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
+    chaining, ops/pallas_megakernel.render_waves_chained) and reconstruct
+    each sweep with its own jitter offset. Returns (film_deltas (S,H,W,4),
+    stats). Mega driver, reference reconstruction (radius 2, zero-albedo
+    parity mode) only — the renderer falls back to per-sweep launches
+    otherwise."""
+    from hijiki_tpu.ops.pallas_megakernel import render_waves_chained
+    from hijiki_tpu.render.blocks import per_pixel_seeds_device
+    from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
+
+    f32 = jnp.float32
+    H, W = height, width
+    S = block_seeds.shape[0]
+    y = jax.lax.broadcasted_iota(f32, (H, W), 0).reshape(-1)
+    x = jax.lax.broadcasted_iota(f32, (H, W), 1).reshape(-1)
+    pxs = jnp.stack([x + sample_offsets[si, 0] for si in range(S)])
+    pys = jnp.stack([y + sample_offsets[si, 1] for si in range(S)])
+    seeds = jnp.stack(
+        [
+            per_pixel_seeds_device(
+                width, height, block_size, block_seeds[si]
+            ).reshape(-1)
+            for si in range(S)
+        ]
+    )
+    t, n, dep, _, ovf, bounces, rows, _ = render_waves_chained(
+        scene,
+        pxs,
+        pys,
+        seeds,
+        width=W,
+        height=H,
+        max_bounces=max_bounces,
+        chain_cap=chain_cap,
+        packet=mega_packet,
+        groups=mega_groups,
+        table_in_hbm=mega_table_hbm,
+    )
+    deltas = jnp.stack(
+        [
+            reconstruct_pallas(
+                t[si].reshape(H, W, 3),
+                n[si].reshape(H, W, 3),
+                sample_offsets[si],
+                block_size=block_size,
+                stddev=stddev,
+            )
+            for si in range(S)
+        ]
+    )
+    stats = dict(
+        wave_overflow=ovf,
+        mean_radiance=jnp.mean(t),
+        mean_depth=jnp.mean(dep),
+        # per-sweep averages so the Renderer metrics stay sweep-denominated
+        path_segments=jnp.sum(bounces) / S,
+        rows_visited=jnp.sum(rows) / (8.0 * mega_packet) / S,
+    )
+    return deltas, stats
+
+
+def resolve_chain_sweeps(config, table_hbm: bool) -> int:
+    """0 = auto: CHAIN_SWEEPS_TPU sweeps per chained launch for the plain
+    TPU mega driver, 1 (off) elsewhere. Chaining requires the mega driver
+    with the reference reconstruction path (radius 2, parity albedo) and no
+    lane sort; HIJIKI_CHAIN_SWEEPS overrides the auto choice. Auto stays
+    off on the HBM-table path (mechanically supported but unmeasured on
+    real hardware — force via the flag/env to experiment)."""
+    import os
+
+    c = config
+    eligible = (
+        c.driver == "mega"
+        and c.reconstruction_radius == 2
+        and not c.fixed_albedo
+        and not c.sort_lanes
+    )
+    requested = c.chain_sweeps
+    env = os.environ.get("HIJIKI_CHAIN_SWEEPS")
+    if not requested and env:
+        requested = int(env)
+    if requested:
+        if requested > 1 and not eligible:
+            raise ValueError(
+                "chain_sweeps > 1 needs the mega driver with radius-2 "
+                "reconstruction, parity albedo, and no --sort-lanes"
+            )
+        return requested
+    if not eligible or table_hbm:
+        return 1
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return 1
+    from hijiki_tpu.ops.pallas_megakernel import CHAIN_SWEEPS_TPU
+
+    return CHAIN_SWEEPS_TPU
+
+
 def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     """0 = auto: wide packets on TPU (ops/pallas_megakernel.MEGA_PACKET_TPU),
     one-VREG 128 elsewhere (CPU interpret mode gains nothing from width).
@@ -393,21 +527,64 @@ class Renderer:
         sweep_marks = []
         total_segments = 0.0
         resume_start = self.sweeps_done
-        for sweep in range(self.sweeps_done, c.spp):
-            sched = self.scheduler.sweep(sweep)
-            # per-pixel seeds expand on DEVICE from the tiny block-seed
-            # array (seeds_from_blocks in render_sweep): the host expansion
-            # + 4 MB upload cost ~35% of a 1024^2 mega sweep (PERF_NOTES §9l)
-            delta, stats = render_sweep(
-                self.scene,
-                jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32)),
-                jnp.asarray(sched.sample_offset),
-                seeds_from_blocks=True,
-                **kwargs,
-            )
-            self._last_stats = stats
-            self.film = self.film + delta
-            self.sweeps_done = sweep + 1
+        chain = resolve_chain_sweeps(c, self._mega_table_hbm)
+        sweep = self.sweeps_done
+        while sweep < c.spp:
+            n_chunk = min(chain, c.spp - sweep) if chain > 1 else 1
+            if n_chunk > 1:
+                # chained chunk: one launch traces n_chunk sweeps with
+                # in-kernel lane respawn; per-sweep deltas come back in
+                # order so the film accumulation matches sweep-at-a-time
+                scheds = [
+                    self.scheduler.sweep(si)
+                    for si in range(sweep, sweep + n_chunk)
+                ]
+                bs = jnp.asarray(
+                    np.stack(
+                        [np.asarray(sc.block_seeds, np.uint32) for sc in scheds]
+                    )
+                )
+                offs = jnp.asarray(
+                    np.stack(
+                        [
+                            np.asarray(sc.sample_offset, np.float32)
+                            for sc in scheds
+                        ]
+                    )
+                )
+                deltas, stats = render_sweeps_chained(
+                    self.scene,
+                    bs,
+                    offs,
+                    width=c.width,
+                    height=c.height,
+                    block_size=c.block_size,
+                    max_bounces=c.max_bounces,
+                    stddev=c.reconstruction_stddev,
+                    mega_packet=kwargs["mega_packet"],
+                    mega_groups=kwargs["mega_groups"],
+                    mega_table_hbm=self._mega_table_hbm,
+                )
+                self._last_stats = stats
+                for k in range(n_chunk):
+                    self.film = self.film + deltas[k]
+            else:
+                sched = self.scheduler.sweep(sweep)
+                # per-pixel seeds expand on DEVICE from the tiny block-seed
+                # array (seeds_from_blocks in render_sweep): the host
+                # expansion + 4 MB upload cost ~35% of a 1024^2 mega sweep
+                # (PERF_NOTES §9l)
+                delta, stats = render_sweep(
+                    self.scene,
+                    jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32)),
+                    jnp.asarray(sched.sample_offset),
+                    seeds_from_blocks=True,
+                    **kwargs,
+                )
+                self._last_stats = stats
+                self.film = self.film + delta
+            sweep += n_chunk
+            self.sweeps_done = sweep
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
             if c.preview_interval and self.sweeps_done % c.preview_interval == 0:

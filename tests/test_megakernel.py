@@ -414,3 +414,74 @@ def test_all_analytic_scene_inert_table(cbox_compiled):
     close = np.isclose(a, b, rtol=2e-4, atol=2e-5)
     assert close.mean() > 0.995, f"{(~close).sum()} of {close.size} differ"
     assert a.mean() > 0.01  # lit
+
+
+def test_chained_sweeps_match_separate(setup):
+    """render_waves_chained (in-kernel sample chaining: dead lanes respawn
+    onto the pixel's next sweep sample; capped paths park to per-sample
+    state slots and finish via the compaction phases) must reproduce S
+    separate render_waves sweeps sample-for-sample. chain_cap=8 forces the
+    parked-path route to be exercised."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import (
+        render_waves,
+        render_waves_chained,
+    )
+
+    cs, W, H, px, py, seeds = setup
+    S = 3
+    rng = np.random.default_rng(5)
+    pxs, pys, sds_ = [], [], []
+    base_px = np.asarray(px) - 0.37
+    base_py = np.asarray(py) - 0.61
+    for s in range(S):
+        ox, oy = rng.random(2, dtype=np.float32)
+        pxs.append(base_px + ox)
+        pys.append(base_py + oy)
+        sds_.append(
+            ((np.arange(W * H) * 2654435761 + s * 977) % (1 << 32)).astype(
+                np.uint32
+            )
+        )
+    pxs = jnp.asarray(np.stack(pxs))
+    pys = jnp.asarray(np.stack(pys))
+    sds_ = jnp.asarray(np.stack(sds_))
+
+    ref = [
+        render_waves(
+            cs, pxs[s], pys[s], sds_[s], width=W, height=H, max_bounces=40,
+            interpret=True,
+        )
+        for s in range(S)
+    ]
+    ch = render_waves_chained(
+        cs, pxs, pys, sds_, width=W, height=H, max_bounces=40, chain_cap=8,
+        interpret=True,
+    )
+    assert int(ch[4]) == 0  # no parked-path capacity overflow
+    # total, normal, depth, bounces, albedo: exact per sweep
+    for i in (0, 1, 2, 5, 7):
+        for s in range(S):
+            np.testing.assert_array_equal(
+                np.asarray(ref[s][i]), np.asarray(ch[i][s])
+            )
+
+
+def test_chained_overflow_counter_reports_drops(setup):
+    """A pathologically low chain_cap must overflow the parked-path
+    capacity and SAY so (the bias detector), rather than silently dropping
+    samples."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_waves_chained
+
+    cs, W, H, px, py, seeds = setup
+    pxs = jnp.stack([px, px])
+    pys = jnp.stack([py, py])
+    sds_ = jnp.stack([seeds, seeds + jnp.uint32(1)])
+    ch = render_waves_chained(
+        cs, pxs, pys, sds_, width=W, height=H, max_bounces=40, chain_cap=1,
+        phase_shrink=(64,), interpret=True,
+    )
+    assert int(ch[4]) > 0

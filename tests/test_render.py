@@ -245,3 +245,38 @@ def test_device_seed_expansion_bitwise():
         a = np.asarray(per_pixel_seeds(W, H, B, bs))
         b = np.asarray(per_pixel_seeds_device(W, H, B, jnp.asarray(bs)))
         np.testing.assert_array_equal(a, b)
+
+
+def test_renderer_chained_sweeps_match_unchained(cbox_small):
+    """Renderer with chain_sweeps=2 (chained chunk of 2 + a single tail
+    sweep at spp=3) must reproduce the unchained film. Chaining is
+    estimator-exact per (pixel, sweep) sample (PERF_NOTES §9o), so on the
+    interpret backend the films match to reconstruction-accumulation
+    rounding."""
+    import hijiki_tpu.ops.pallas_megakernel as mk
+    import hijiki_tpu.render.pallas_reconstruct as pr
+
+    cfg = dict(width=64, height=64, spp=3, block_size=64, seed=11,
+               driver="mega", max_bounces=8)
+    orig_rw, orig_rwc, orig_rp = (
+        mk.render_waves, mk.render_waves_chained, pr.reconstruct_pallas
+    )
+    try:
+        mk.render_waves = lambda *a, **k: orig_rw(*a, **{**k, "interpret": True})
+        mk.render_waves_chained = (
+            lambda *a, **k: orig_rwc(*a, **{**k, "interpret": True})
+        )
+        pr.reconstruct_pallas = (
+            lambda *a, **k: orig_rp(*a, **{**k, "interpret": True})
+        )
+        plain = Renderer(cbox_small, RenderConfig(**cfg, chain_sweeps=1))
+        plain.render()
+        chained = Renderer(cbox_small, RenderConfig(**cfg, chain_sweeps=2))
+        chained.render()
+    finally:
+        mk.render_waves, mk.render_waves_chained, pr.reconstruct_pallas = (
+            orig_rw, orig_rwc, orig_rp
+        )
+    a, b = np.asarray(plain.film), np.asarray(chained.film)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert a.mean() > 0.01  # lit
