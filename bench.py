@@ -49,8 +49,7 @@ def main():
     from hijiki_tpu.scene.obj import load_obj_scene
 
     W = H = 1024
-    warmup_spp = 1
-    timed_spp = 4
+    timed_spp = 8
 
     on_tpu = jax.devices()[0].platform != "cpu"
     driver = "mega" if on_tpu else "sync"
@@ -63,6 +62,10 @@ def main():
         H = 64 * n_dev
         timed_spp = 1
         block_size = 64
+    # warmup at the SAME spp as the timed run: the sweep-chaining chunk size
+    # depends on spp, and a warmup at a different spp would leave the chained
+    # executable to compile inside the timed region (~25 s via the tunnel)
+    warmup_spp = timed_spp
     if n_dev > 1:
         from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer
 

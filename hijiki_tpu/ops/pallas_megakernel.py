@@ -59,7 +59,7 @@ MEGA_PACKET_TPU = 1024
 MEGA_GROUPS_TPU = 4
 # Sweep samples per chained launch on TPU (render_waves_chained; auto
 # default used by render.renderer.resolve_chain_sweeps).
-CHAIN_SWEEPS_TPU = 4
+CHAIN_SWEEPS_TPU = 8
 SUBLANES = 8
 # HBM-resident tables pad rows to one full lane tile: Mosaic DMA slices
 # must be 128-aligned in the lane dimension

@@ -296,10 +296,12 @@ def render_sweeps_chained(
 ):
     """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
     chaining, ops/pallas_megakernel.render_waves_chained) and reconstruct
-    each sweep with its own jitter offset. Returns (film_deltas (S,H,W,4),
-    stats). Mega driver, reference reconstruction (radius 2, zero-albedo
-    parity mode) only — the renderer falls back to per-sweep launches
-    otherwise."""
+    each sweep with its own jitter offset. Returns (film_delta (H,W,4) —
+    the SUM over the chunk's sweeps; film accumulation is associative so
+    summing in-jit saves the (S,H,W,4) materialization + S host-side adds —
+    and stats). Mega driver, reference reconstruction (radius 2,
+    zero-albedo parity mode) only — the renderer falls back to per-sweep
+    launches otherwise."""
     from hijiki_tpu.ops.pallas_megakernel import render_waves_chained
     from hijiki_tpu.render.blocks import per_pixel_seeds_device
     from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
@@ -332,18 +334,21 @@ def render_sweeps_chained(
         groups=mega_groups,
         table_in_hbm=mega_table_hbm,
     )
-    deltas = jnp.stack(
-        [
-            reconstruct_pallas(
-                t[si].reshape(H, W, 3),
-                n[si].reshape(H, W, 3),
-                sample_offsets[si],
-                block_size=block_size,
-                stddev=stddev,
-            )
-            for si in range(S)
-        ]
+    delta = reconstruct_pallas(
+        t[0].reshape(H, W, 3),
+        n[0].reshape(H, W, 3),
+        sample_offsets[0],
+        block_size=block_size,
+        stddev=stddev,
     )
+    for si in range(1, S):
+        delta = delta + reconstruct_pallas(
+            t[si].reshape(H, W, 3),
+            n[si].reshape(H, W, 3),
+            sample_offsets[si],
+            block_size=block_size,
+            stddev=stddev,
+        )
     stats = dict(
         wave_overflow=ovf,
         mean_radiance=jnp.mean(t),
@@ -352,7 +357,7 @@ def render_sweeps_chained(
         path_segments=jnp.sum(bounces) / S,
         rows_visited=jnp.sum(rows) / (8.0 * mega_packet) / S,
     )
-    return deltas, stats
+    return delta, stats
 
 
 def resolve_chain_sweeps(config, table_hbm: bool) -> int:
@@ -552,7 +557,7 @@ class Renderer:
                         ]
                     )
                 )
-                deltas, stats = render_sweeps_chained(
+                delta, stats = render_sweeps_chained(
                     self.scene,
                     bs,
                     offs,
@@ -566,8 +571,7 @@ class Renderer:
                     mega_table_hbm=self._mega_table_hbm,
                 )
                 self._last_stats = stats
-                for k in range(n_chunk):
-                    self.film = self.film + deltas[k]
+                self.film = self.film + delta
             else:
                 sched = self.scheduler.sweep(sweep)
                 # per-pixel seeds expand on DEVICE from the tiny block-seed
