@@ -113,8 +113,16 @@ def main():
     r = make_renderer(compiled, cfg)
     t0 = time.monotonic()
     r.render()
-    img = r.image()  # host materialization = true synchronization
+    # true synchronization via a 4-byte device-side reduction:
+    # block_until_ready() does not reliably synchronize on this stack, and a
+    # full-image readback pulls 16 MB through the tunnel (~0.9 s) — which the
+    # reference also excludes from its timed region (rays/s is printed before
+    # save_image, src/main.rs:1487-1493)
+    import jax.numpy as jnp
+
+    film_sum = float(jnp.sum(r.film if hasattr(r, "film") else r.image()))
     elapsed = time.monotonic() - t0
+    img = r.image()
 
     primary = W * H * timed_spp
     mrays_per_chip = primary / elapsed / 1e6 / n_dev

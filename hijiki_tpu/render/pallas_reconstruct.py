@@ -41,6 +41,7 @@ f32 = jnp.float32
 
 def _reconstruct_kernel(so_ref, prev_ref, cur_ref, next_ref, out_ref, *, cfg):
     H, W, B, stddev = cfg["height"], cfg["width"], cfg["block"], cfg["stddev"]
+    STRIP = cfg["strip"]
     i = pl.program_id(0)
 
     gauss_fac = -1.0 / (2.0 * stddev * stddev)
@@ -53,8 +54,7 @@ def _reconstruct_kernel(so_ref, prev_ref, cur_ref, next_ref, out_ref, *, cfg):
     def slab(c):
         return jnp.concatenate([prev_ref[c], cur_ref[c], next_ref[c]], axis=0)
 
-    cw_r, cw_g, cw_b, cw_w = slab(0), slab(1), slab(2), slab(3)
-    n_x, n_y, n_z = slab(4), slab(5), slab(6)
+    slabs = [slab(c) for c in range(7)]
 
     # global coords of the 8 output rows
     py = i * STRIP + jax.lax.broadcasted_iota(jnp.int32, (STRIP, W), 0)
@@ -65,55 +65,78 @@ def _reconstruct_kernel(so_ref, prev_ref, cur_ref, next_ref, out_ref, *, cfg):
     ncy = cur_ref[5]
     ncz = cur_ref[6]
 
+    # block-splat geometry hoisted out of the 25-offset loop: it separates
+    # into per-dx column terms and per-dy row terms (10 int divs total
+    # instead of 50, and the in-loop mask assembly is two ANDs)
+    colgeo = {}
+    for dx in range(-R, R + 1):
+        qx = px + dx
+        ox = (qx // B) * B
+        dw = jnp.minimum(B, W - ox)
+        lxq = px - ox
+        colgeo[dx] = dict(
+            in_x=(qx >= 0) & (qx < W),
+            splat_x=(lxq >= 0) & (lxq < dw + R),
+            center_x=(lxq < dw),
+        )
+    rowgeo = {}
+    for dy in range(-R, R + 1):
+        qy = py + dy
+        oy = (qy // B) * B
+        dh = jnp.minimum(B, H - oy)
+        lyq = py - oy
+        rowgeo[dy] = dict(
+            in_y=(qy >= 0) & (qy < H),
+            splat_y=(lyq >= 0) & (lyq < dh + R),
+            center_y=(lyq < dh),
+        )
+
+    # pre-roll each slab once per dx (35 rolls of the 24-row window instead
+    # of 140 in-loop rolls of 8-row slices); sh() below is then a free
+    # static row slice. pltpu.roll needs a non-negative shift: reading
+    # q = p + dx is a roll by -dx, i.e. W - dx when dx > 0
+    rolled = {
+        dx: [pltpu.roll(a, (-dx) % W, 1) if dx else a for a in slabs]
+        for dx in range(-R, R + 1)
+    }
+
     acc = [jnp.zeros((STRIP, W), f32) for _ in range(4)]
 
     for dy in range(-R, R + 1):
+        rg = rowgeo[dy]
         for dx in range(-R, R + 1):
+            cg_ = colgeo[dx]
             offx = f32(dx) + sox - f32(0.5)
             offy = f32(dy) + soy - f32(0.5)
             w_sp = jnp.exp(f32(gauss_fac) * (offx * offx + offy * offy)) - f32(
                 curve_offset
             )
 
-            qx = px + dx
-            qy = py + dy
-            in_img = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
-            ox = (qx // B) * B
-            oy = (qy // B) * B
-            dw = jnp.minimum(B, W - ox)
-            dh = jnp.minimum(B, H - oy)
-            lx = px - ox
-            ly = py - oy
-            in_splat = (lx >= 0) & (ly >= 0) & (lx < dw + R) & (ly < dh + R)
-            center_valid = (lx < dw) & (ly < dh)
+            in_img = cg_["in_x"] & rg["in_y"]
+            in_splat = cg_["splat_x"] & rg["splat_y"]
+            center_valid = cg_["center_x"] & rg["center_y"]
 
-            # shifted reads: rows are static slices of the 24-row window,
-            # columns via roll + wraparound mask (folded into in_img above)
-            def sh(a):
-                rows = jax.lax.slice_in_dim(a, STRIP + dy, 2 * STRIP + dy, axis=0)
-                # pltpu.roll requires non-negative shift: reading q = p + dx
-                # is a roll by -dx, i.e. W - dx when dx > 0
-                return pltpu.roll(rows, (-dx) % W, 1) if dx else rows
+            def sh(c):
+                return jax.lax.slice_in_dim(
+                    rolled[dx][c], STRIP + dy, 2 * STRIP + dy, axis=0
+                )
 
             zero = jnp.zeros((STRIP, W), f32)
-            nqx = sh(n_x)
-            nqy = sh(n_y)
-            nqz = sh(n_z)
-            dnx = nqx - jnp.where(center_valid, ncx, zero)
-            dny = nqy - jnp.where(center_valid, ncy, zero)
-            dnz = nqz - jnp.where(center_valid, ncz, zero)
+            dnx = sh(4) - jnp.where(center_valid, ncx, zero)
+            dny = sh(5) - jnp.where(center_valid, ncy, zero)
+            dnz = sh(6) - jnp.where(center_valid, ncz, zero)
             w = w_sp * jnp.exp(f32(-2.0) * (dnx * dnx + dny * dny + dnz * dnz))
 
-            cr = w * sh(cw_r)
-            cg = w * sh(cw_g)
-            cb = w * sh(cw_b)
-            cwv = w * sh(cw_w)
+            cr = w * sh(0)
+            cg2 = w * sh(1)
+            cb = w * sh(2)
+            cwv = w * sh(3)
             nan = (
-                jnp.isnan(cr) | jnp.isnan(cg) | jnp.isnan(cb) | jnp.isnan(cwv)
+                jnp.isnan(cr) | jnp.isnan(cg2) | jnp.isnan(cb) | jnp.isnan(cwv)
             )
             valid = (w_sp >= f32(0.0)) & in_img & in_splat & ~nan
             acc[0] = acc[0] + jnp.where(valid, cr, zero)
-            acc[1] = acc[1] + jnp.where(valid, cg, zero)
+            acc[1] = acc[1] + jnp.where(valid, cg2, zero)
             acc[2] = acc[2] + jnp.where(valid, cb, zero)
             acc[3] = acc[3] + jnp.where(valid, cwv, zero)
 
@@ -122,7 +145,7 @@ def _reconstruct_kernel(so_ref, prev_ref, cur_ref, next_ref, out_ref, *, cfg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "stddev", "interpret")
+    jax.jit, static_argnames=("block_size", "stddev", "interpret", "strip")
 )
 def reconstruct_pallas(
     color,  # (H,W,3)
@@ -133,10 +156,12 @@ def reconstruct_pallas(
     block_size: int,
     stddev: float = 0.5,
     interpret: bool = False,
+    strip: int = STRIP,
 ):
     """Pallas reconstruction; returns the (H,W,4) framebuffer delta."""
     H, W = color.shape[0], color.shape[1]
-    Hp = -(-H // STRIP) * STRIP
+    STRIP_ = strip
+    Hp = -(-H // STRIP_) * STRIP_
     if sample_weight is None:
         wch = jnp.ones((H, W), f32)
     else:
@@ -154,9 +179,9 @@ def reconstruct_pallas(
     )
     if Hp != H:
         planes = jnp.pad(planes, ((0, 0), (0, Hp - H), (0, 0)))
-    n_strips = Hp // STRIP
+    n_strips = Hp // STRIP_
 
-    cfg = dict(height=H, width=W, block=block_size, stddev=stddev)
+    cfg = dict(height=H, width=W, block=block_size, stddev=stddev, strip=STRIP_)
     so = sample_offset.reshape(1, 2).astype(f32)
 
     clamp = lambda j: jnp.clip(j, 0, n_strips - 1)
@@ -165,12 +190,12 @@ def reconstruct_pallas(
         grid=(n_strips,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((7, STRIP, W), lambda i: (0, clamp(i - 1), 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, STRIP, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, STRIP, W), lambda i: (0, clamp(i + 1), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, STRIP_, W), lambda i: (0, clamp(i - 1), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, STRIP_, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, STRIP_, W), lambda i: (0, clamp(i + 1), 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (4, STRIP, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (4, STRIP_, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=sds((4, Hp, W), jnp.float32, planes),
         interpret=interpret,
