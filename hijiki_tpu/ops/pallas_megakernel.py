@@ -1557,28 +1557,35 @@ def _bounce_loop(rows_ref, cfg, init):
         imp_len = jnp.sqrt(impr * impr + impg * impg + impb * impb)
         gate = dif & (imp_len > f32(M_EPS)) & ((sdx * nx + sdy * ny + sdz * nz) > 0)
 
-        sh = _traverse(
-            rows_ref,
-            tbl_rows,
-            total_rows,
-            cfg["analytic"],
-            _octant_base(gate, sdx, sdy, sdz, tbl_rows, ntab),
-            hx,
-            hy,
-            hz,
-            sdx,
-            sdy,
-            sdz,
-            jnp.full_like(sdist, f32(2.0 * M_EPS)),
-            jnp.where(gate, sdist - f32(M_EPS), f32(-1.0)),
-            want_payload=False,
-            prefetch=prefetch,
-            hbm_bufs=hbm_bufs,
-            spec=spec,
-            pred=s["srow"].astype(jnp.int32) if shadow_cache else None,
-            groups=groups,
-            group_octant=group_octant,
-        )
+        if cfg.get("shadow_skip_all"):
+            # PERF PROBE ONLY (tools/ab_lightvis.py): skip every shadow walk
+            # — biased image; measures the upper bound of any shadow-ray
+            # visibility shortcut (e.g. scene/lightvis.py's proven cells).
+            sh = {"hitf": jnp.zeros_like(sdist),
+                  "nit": jnp.zeros((SUBLANES, 1), f32)}
+        else:
+            sh = _traverse(
+                rows_ref,
+                tbl_rows,
+                total_rows,
+                cfg["analytic"],
+                _octant_base(gate, sdx, sdy, sdz, tbl_rows, ntab),
+                hx,
+                hy,
+                hz,
+                sdx,
+                sdy,
+                sdz,
+                jnp.full_like(sdist, f32(2.0 * M_EPS)),
+                jnp.where(gate, sdist - f32(M_EPS), f32(-1.0)),
+                want_payload=False,
+                prefetch=prefetch,
+                hbm_bufs=hbm_bufs,
+                spec=spec,
+                pred=s["srow"].astype(jnp.int32) if shadow_cache else None,
+                groups=groups,
+                group_octant=group_octant,
+            )
         unoccluded = sh["hitf"] == 0
 
         # eval BSDF for NEE (material.glsl:18-30)
@@ -2231,6 +2238,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         "prefetch",
         "spec",
         "shadow_cache",
+        "shadow_skip_all",
         "table_in_hbm",
         "groups",
         "group_octant",
@@ -2253,6 +2261,7 @@ def render_waves(
     prefetch: bool = True,
     spec: bool = True,
     shadow_cache: bool = False,
+    shadow_skip_all: bool = False,
     table_in_hbm: bool = False,
     groups: int = 1,
     group_octant: bool = True,
@@ -2307,6 +2316,7 @@ def render_waves(
         prefetch=prefetch,
         spec=spec,
         shadow_cache=shadow_cache,
+        shadow_skip_all=shadow_skip_all,
         hbm=table_in_hbm,
         groups=groups,
         group_octant=group_octant,
