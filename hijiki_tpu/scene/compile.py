@@ -165,6 +165,13 @@ class CompiledScene:
     mega_num_tables_static: int = dataclasses.field(
         metadata=dict(static=True), default=1
     )
+    # Shadow-visibility boxes (scene/lightvis.py): world-space AABBs proven
+    # to see the emitters unoccluded; NEE shadow rays originating inside
+    # any box skip the any-hit walk exactly. Packed flat as
+    # (K, x0,y0,z0,x1,y1,z1, ... K times). () = nothing proven / disabled.
+    shadow_vis_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     @property
     def num_shapes(self) -> int:
@@ -446,6 +453,17 @@ def compile_scene(
         payload[S + Q :, 11:13] = uvs[tri_idx[:, 1]]
         payload[S + Q :, 13:15] = uvs[tri_idx[:, 2]]
 
+    # shadow-visibility boxes (scene/lightvis.py): regions provably
+    # unoccluded toward the whole emitter set; NEE shadow rays from them
+    # skip the any-hit walk (estimator-exact — see the module's soundness
+    # argument)
+    from hijiki_tpu.scene.lightvis import build_shadow_vis_boxes
+
+    shadow_vis = build_shadow_vis_boxes(
+        aabb_min, aabb_max, kind, a, b, c, em_shape,
+        KIND_SPHERE, KIND_QUAD, KIND_TRIANGLE,
+    ) or ()
+
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     if collapse:
         # widen to 4-ary: interior rows dominate packet-walk visits (~83% on
@@ -659,6 +677,7 @@ def compile_scene(
         emitter_bake_static=tuple(em_bake),
         material_bake_static=material_bake,
         mega_num_tables_static=mega_num_tables,
+        shadow_vis_static=shadow_vis,
     )
 
 

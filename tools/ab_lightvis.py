@@ -54,32 +54,36 @@ def main():
         rng.integers(0, 2**32, N, dtype=np.uint64).astype(np.uint32)
     )
 
-    def run(skip):
+    def run(variant):
         out = render_waves(
-            cs, px, py, seeds, width=W, height=H,
-            packet=P, groups=G, shadow_skip_all=skip,
+            cs, px, py, seeds, width=W, height=H, packet=P, groups=G,
+            shadow_vis=(variant == "boxes"),
+            shadow_skip_all=(variant == "skipall"),
         )
         return jnp.sum(out[0]), out[6]  # film sum, rows
 
+    variants = ("off", "boxes", "skipall")
     runs = {}
-    for skip in (False, True):
-        s, rows = run(skip)
-        runs[skip] = (float(s), float(jnp.sum(rows.astype(jnp.float64))))
-        print(f"skip={skip}: sum={runs[skip][0]:.4f} "
-              f"rows={runs[skip][1]:.3e}", file=sys.stderr)
+    for v in variants:
+        s, rows = run(v)
+        runs[v] = (float(s), float(jnp.sum(rows.astype(jnp.float64))))
+        print(f"{v}: sum={runs[v][0]:.4f} rows={runs[v][1]:.3e}",
+              file=sys.stderr)
+    if runs["boxes"][0] != runs["off"][0]:
+        print("WARNING: shadow-vis film sum differs from baseline!")
 
-    times = {False: [], True: []}
+    times = {v: [] for v in variants}
     for rep in range(REPS):
-        for skip in (False, True):
+        for v in variants:
             t0 = time.perf_counter()
-            s, _ = run(skip)
+            s, _ = run(v)
             float(s)
-            times[skip].append(time.perf_counter() - t0)
-    t_off = min(times[False])
-    t_on = min(times[True])
-    print(f"baseline   {t_off*1e3:8.1f} ms  (rows {runs[False][1]:.3e})")
-    print(f"skip-all   {t_on*1e3:8.1f} ms  (rows {runs[True][1]:.3e})")
-    print(f"upper bound from shadow-walk elimination: {t_off/t_on:.3f}x")
+            times[v].append(time.perf_counter() - t0)
+    t_off = min(times["off"])
+    for v in variants:
+        t = min(times[v])
+        print(f"{v:8s} {t*1e3:8.1f} ms  (rows {runs[v][1]:.3e})"
+              f"  {t_off/t:.3f}x")
 
 
 if __name__ == "__main__":
