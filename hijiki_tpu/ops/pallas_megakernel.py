@@ -65,6 +65,20 @@ SUBLANES = 8
 # must be 128-aligned in the lane dimension
 HBM_ROW_WIDTH = 128
 TRACE_COLS = 32
+# Packed leaf rows (scene.compile.build_packed_trace_rows): shading payload
+# lives in a slot-indexed section after the walk tables. A walker receives
+# packed=(pay_base, n_pay, nper) or None; with packed, analytic/miss
+# winners encode as n_pay + k and `wrow` carries payload-row slots.
+# nper=4: 64-wide rows, PACKED_N tris at stride PACKED_STRIDE from col
+# PACKED_BASE with baked normals + per-prim slot cols. nper=3: 32-wide
+# rows, tris at PACKED3_BASES, normals recomputed in-kernel, consecutive
+# slots from col PACKED3_SLOT_COL.
+PACKED_N = 4
+PACKED_BASE = 12
+PACKED_STRIDE = 13
+PACKED3_N = 3
+PACKED3_BASES = (0, 11, 20)
+PACKED3_SLOT_COL = 29
 TILE = SUBLANES * PACKET
 # per-sweep channels flushed by the chained kernel as samples finish
 # (same order as the wavefront result buffer):
@@ -315,7 +329,7 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
 
 def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
                    ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                   pred=None):
+                   pred=None, packed=None):
     """Software-pipelined packet walk (``spec`` mode, VMEM tables).
 
     The plain walker's per-iteration critical chain is
@@ -393,7 +407,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         # in-register select, so the speculative vote below never waits on a
         # load (spec v1 fetched here and put the load latency back on the
         # body; measured 0.915x)
-        sel_n = jnp.broadcast_to(take_exit, (SUBLANES, TRACE_COLS))
+        sel_n = jnp.broadcast_to(take_exit, c["pfa"].shape)
         rows8_n = jnp.where(sel_n, c["pfb"], c["pfa"])
 
         # primitive test on the current row (identical math to _traverse)
@@ -401,49 +415,10 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
             best_t = c["t"]
         else:
             best_t = jnp.where(c["hitf"] > 0, tmin, tmax)
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        v1x, v1y, v1z = col(3), col(4), col(5)
-        v2x, v2y, v2z = col(6), col(7), col(8)
-        nx, ny, nz = col(29), col(30), col(31)
-        rx = ox - v0x
-        ry = oy - v0y
-        rz = oz - v0z
-        qx = ry * dz - rz * dy
-        qy = rz * dx - rx * dz
-        qz = rx * dy - ry * dx
-        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
-        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
-        v = dd * (qx * v1x + qy * v1y + qz * v1z)
-        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
-        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-        if analytic:
-            # (t_pq <= best_t) is implied by the accept's strict (pt < best_t)
-            phit = in_tri & (tmin <= t_pq)
-            pt = t_pq
-            pu, pv = u, v
-        else:
-            kind = col(9)
-            is_tri = kind == f32(KIND_TRIANGLE)
-            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
-            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
-            ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
-            radius = v1x
-            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
-            sc = rx * rx + ry * ry + rz * rz - radius * radius
-            disc = sb * sb - f32(4.0) * sc
-            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-            st0 = f32(-0.5) * (sb + sq)
-            st1 = f32(-0.5) * (sb - sq)
-            ok0 = (tmin <= st0) & (st0 <= best_t)
-            ok1 = (tmin <= st1) & (st1 <= best_t)
-            t_s = jnp.where(ok0, st0, st1)
-            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
-            is_sphere = kind == f32(KIND_SPHERE)
-            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
-            pt = jnp.where(is_sphere, t_s, t_pq)
-            zero = jnp.zeros_like(pt)
-            pu = jnp.where(is_sphere, zero, u)
-            pv = jnp.where(is_sphere, zero, v)
+        phit, pt, pu, pv, pslot = _prim_test(
+            rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
+            packed=packed[2] if packed is not None else 0,
+        )
 
         accept = (active & is_prim_s) & phit & (pt < best_t)
         out = dict(c)
@@ -451,8 +426,11 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
             out["t"] = jnp.where(accept, pt, c["t"])
             out["u"] = jnp.where(accept, pu, c["u"])
             out["v"] = jnp.where(accept, pv, c["v"])
-            cur_b = jnp.broadcast_to(cur, ox.shape)
-            out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
+            if packed is not None:
+                win = pslot.astype(jnp.int32)
+            else:
+                win = jnp.broadcast_to(cur, ox.shape)
+            out["wrow"] = jnp.where(accept, win, c["wrow"])
             bt_next = out["t"]
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
@@ -482,16 +460,17 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         # (8,1): the visit count is per-packet uniform; consumers broadcast
         nit=jnp.zeros((SUBLANES, 1), f32),
     )
+    enc = packed[1] if packed is not None else total_rows
     if analytic:
         pre = _analytic_pretest(
-            analytic, total_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
+            analytic, enc, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
         )
         init.update(pre)
     elif want_payload:
         init["t"] = tmax
         init["u"] = jnp.zeros(ox.shape, f32)
         init["v"] = jnp.zeros(ox.shape, f32)
-        init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
+        init["wrow"] = jnp.full(ox.shape, enc, jnp.int32)
     else:
         init["hitf"] = jnp.zeros(ox.shape, f32)
     if not want_payload and pred is not None:
@@ -499,7 +478,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         # before the walk (exact — see _anyhit_pretest)
         ph, vrow = _anyhit_pretest(
             rows_ref, total_rows, analytic, pred,
-            ox, oy, oz, dx, dy, dz, tmin, tmax,
+            ox, oy, oz, dx, dy, dz, tmin, tmax, packed=packed,
         )
         init["hitf"] = jnp.maximum(init["hitf"], ph)
         init["orow"] = vrow
@@ -521,17 +500,80 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         final.pop("done")
     if not want_payload:
         return final
-    return _resolve_winners(rows_ref, total_rows, analytic, final, hbm_bufs=None)
+    return _resolve_winners(rows_ref, total_rows, analytic, final,
+                            hbm_bufs=None, packed=packed)
 
 
-def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic):
+def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
+               packed=False):
     """Unified primitive test of one trace row against a ray group.
 
     Identical math to the inlined blocks in ``_traverse``/``_traverse_spec``
     (plane-normal cols 29-31 precomputed at scene compile); shapes follow
-    ``ox``. Returns (phit, pt, pu, pv)."""
+    ``ox``. Returns (phit, pt, pu, pv, pslot); pslot is None unless packed.
+
+    ``packed``: prims per packed row — 0 = classic single-prim row, 3 = the
+    32-wide PACKED3 format (normals recomputed in-kernel, consecutive slots
+    from one base col), 4 = the 64-wide format (baked normals, per-prim
+    slot cols). Analytic tables only — see scene.compile. All packed prims
+    are tested and reduced by a strict-min-t tournament with earliest-prim
+    tie-break — exactly the outcome of the sequential unpacked walk over
+    the same leaf (each accept there requires strictly smaller t than
+    every earlier accept), so packing is estimator-exact at equal tree
+    shape. Leaf pads (duplicates in the 64-wide format, degenerate zero
+    triangles in PACKED3) can never win the tournament. pslot is the
+    winner's payload-row index as f32; garbage where ~phit (callers gate
+    on phit). Interior rows' prim columns yield NaN t and all-false hits.
+    """
     shp = ox.shape
     col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
+    if packed:
+        assert analytic, "packed trace rows are triangle-only (analytic mode)"
+        bhit = bt = bu = bv = bsl = None
+        for k in range(packed):
+            if packed == PACKED3_N:
+                B = PACKED3_BASES[k]
+            else:
+                B = PACKED_BASE + PACKED_STRIDE * k
+            v0x, v0y, v0z = col(B), col(B + 1), col(B + 2)
+            v1x, v1y, v1z = col(B + 3), col(B + 4), col(B + 5)
+            v2x, v2y, v2z = col(B + 6), col(B + 7), col(B + 8)
+            if packed == PACKED3_N:
+                # recompute the plane normal (f32 mul/sub — bitwise equal to
+                # the numpy f32 bake); VPU issue slots are not the walker's
+                # bottleneck (PERF_NOTES §9s), keeping rows at fetch width 32
+                nx = v1y * v2z - v1z * v2y
+                ny = v1z * v2x - v1x * v2z
+                nz = v1x * v2y - v1y * v2x
+            else:
+                nx, ny, nz = col(B + 9), col(B + 10), col(B + 11)
+            rx = ox - v0x
+            ry = oy - v0y
+            rz = oz - v0z
+            qx = ry * dz - rz * dy
+            qy = rz * dx - rx * dz
+            qz = rx * dy - ry * dx
+            dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+            u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+            v = dd * (qx * v1x + qy * v1y + qz * v1z)
+            t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+            phit = (u >= 0) & (v >= 0) & (u + v <= f32(1.0)) & (tmin <= t_pq)
+            if packed == PACKED3_N:
+                sl = f32(k)  # literal; winner adds the base-slot col below
+            else:
+                sl = col(B + 12)
+            if bhit is None:
+                bhit, bt, bu, bv, bsl = phit, t_pq, u, v, sl
+            else:
+                better = phit & (~bhit | (t_pq < bt))
+                bt = jnp.where(better, t_pq, bt)
+                bu = jnp.where(better, u, bu)
+                bv = jnp.where(better, v, bv)
+                bsl = jnp.where(better, sl, bsl)
+                bhit = bhit | phit
+        if packed == PACKED3_N:
+            bsl = col(PACKED3_SLOT_COL) + bsl
+        return bhit, bt, bu, bv, bsl
     v0x, v0y, v0z = col(0), col(1), col(2)
     v1x, v1y, v1z = col(3), col(4), col(5)
     v2x, v2y, v2z = col(6), col(7), col(8)
@@ -550,7 +592,7 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic):
     if analytic:
         # (t_pq <= best_t) is implied by the accept's strict (pt < best_t)
         phit = in_tri & (tmin <= t_pq)
-        return phit, t_pq, u, v
+        return phit, t_pq, u, v, None
     kind = col(9)
     is_tri = kind == f32(KIND_TRIANGLE)
     in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
@@ -573,12 +615,12 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic):
     zero = jnp.zeros_like(pt)
     pu = jnp.where(is_sphere, zero, u)
     pv = jnp.where(is_sphere, zero, v)
-    return phit, pt, pu, pv
+    return phit, pt, pu, pv, None
 
 
 def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                            ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                           groups, pred=None, group_octant=True):
+                           groups, pred=None, group_octant=True, packed=None):
     """Grouped software-pipelined walk: G independent cursor groups per tile.
 
     The packet-union tax scales with lanes-per-cursor (per-sublane unions,
@@ -621,7 +663,10 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     # octant (what a genuinely narrow packet would do; the caller's `base`
     # is the full-tile vote). Init-only cost; table choice never affects
     # correctness (octant tables are alternate orderings of the same tree).
-    ntab = total_rows // tbl_rows
+    # with a packed payload section appended, only rows below pay_base are
+    # walk tables
+    n_walk = packed[0] if packed is not None else total_rows
+    ntab = n_walk // tbl_rows
     if group_octant and ntab > 1 and G > 1:
         bases = [
             _octant_base(tmaxg[g] >= 0, dxg[g], dyg[g], dzg[g],
@@ -704,17 +749,21 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                 best_t = cg["t"]
             else:
                 best_t = jnp.where(cg["hitf"] > 0, tming[g], tmaxg[g])
-            phit, pt, pu, pv = _prim_test(
+            phit, pt, pu, pv, pslot = _prim_test(
                 rows8, oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
                 tming[g], best_t, analytic,
+                packed=packed[2] if packed is not None else 0,
             )
             accept = (active & is_prim_s) & phit & (pt < best_t)
             if want_payload:
                 ng["t"] = jnp.where(accept, pt, cg["t"])
                 ng["u"] = jnp.where(accept, pu, cg["u"])
                 ng["v"] = jnp.where(accept, pv, cg["v"])
-                cur_b = jnp.broadcast_to(cg["cur"], (SUBLANES, W))
-                ng["wrow"] = jnp.where(accept, cur_b, cg["wrow"])
+                if packed is not None:
+                    win = pslot.astype(jnp.int32)
+                else:
+                    win = jnp.broadcast_to(cg["cur"], (SUBLANES, W))
+                ng["wrow"] = jnp.where(accept, win, cg["wrow"])
                 bt_next = ng["t"]
             else:
                 ng["hitf"] = jnp.where(accept, f32(1.0), cg["hitf"])
@@ -736,26 +785,27 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
         return out
 
     init = {"nit": jnp.zeros((SUBLANES, 1), f32)}
+    enc = packed[1] if packed is not None else total_rows
     for g in range(G):
         rows0 = _fetch_rows8(rows_ref, total_rows, bases[g])
         gi = dict(cur=bases[g])
         if analytic:
             gi.update(_analytic_pretest(
-                analytic, total_rows, oxg[g], oyg[g], ozg[g],
+                analytic, enc, oxg[g], oyg[g], ozg[g],
                 dxg[g], dyg[g], dzg[g], tming[g], tmaxg[g], want_payload,
             ))
         elif want_payload:
             gi["t"] = tmaxg[g]
             gi["u"] = jnp.zeros((SUBLANES, W), f32)
             gi["v"] = jnp.zeros((SUBLANES, W), f32)
-            gi["wrow"] = jnp.full((SUBLANES, W), total_rows, jnp.int32)
+            gi["wrow"] = jnp.full((SUBLANES, W), enc, jnp.int32)
         else:
             gi["hitf"] = jnp.zeros((SUBLANES, W), f32)
         if not want_payload and pred is not None:
             ph, vrow = _anyhit_pretest(
                 rows_ref, total_rows, analytic, predg[g],
                 oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
-                tming[g], tmaxg[g],
+                tming[g], tmaxg[g], packed=packed,
             )
             gi["hitf"] = jnp.maximum(gi["hitf"], ph)
             gi["orow"] = vrow
@@ -783,13 +833,13 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
                 nit=final["nit"])
     return _resolve_winners(rows_ref, total_rows, analytic, walk,
-                            hbm_bufs=None)
+                            hbm_bufs=None, packed=packed)
 
 
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
               prefetch=False, hbm_bufs=None, spec=False, pred=None,
-              groups=1, group_octant=True):
+              groups=1, group_octant=True, packed=None):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -817,11 +867,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             return _traverse_spec_grouped(
                 rows_ref, tbl_rows, total_rows, analytic, base,
                 ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                groups, pred=pred, group_octant=group_octant,
+                groups, pred=pred, group_octant=group_octant, packed=packed,
             )
         return _traverse_spec(
             rows_ref, tbl_rows, total_rows, analytic, base,
             ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload, pred=pred,
+            packed=packed,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
@@ -857,7 +908,8 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         col_s = lambda j: rows8[:, j : j + 1]  # (8,1) for per-packet cursor ops
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
-        v2x, v2y, v2z = col(6), col(7), col(8)
+        if packed is None:
+            v2x, v2y, v2z = col(6), col(7), col(8)
         kind_s = col_s(9)
         nexit = col_s(10).astype(jnp.int32)
 
@@ -909,53 +961,60 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             nxt_e = jnp.where(active, nxt_e, cur)
             _dma_rows8(rows_ref, total_rows, nxt_e, scr_a, sem_a)
 
-        # unified primitive test; plane normal v1 x v2 is precomputed per row
-        # at scene compile (cols 29-31) — saves 6 ops in the hot loop
-        nx, ny, nz = col(29), col(30), col(31)
-        rx = ox - v0x
-        ry = oy - v0y
-        rz = oz - v0z
-        qx = ry * dz - rz * dy
-        qy = rz * dx - rx * dz
-        qz = rx * dy - ry * dx
-        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
-        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
-        v = dd * (qx * v1x + qy * v1y + qz * v1z)
-        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
-        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-        if analytic:
-            # triangle-only table: spheres/quads were pre-tested as baked
-            # immediates, so the whole sphere branch and the quad/tri kind
-            # selects drop out of the hot loop. (t_pq <= best_t) is implied
-            # by the accept's strict (pt < best_t) — not tested twice.
-            phit = in_tri & (tmin <= t_pq)
-            pt = t_pq
-            pu, pv = u, v
+        if packed is not None:
+            phit, pt, pu, pv, pslot = _prim_test(
+                rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
+                packed=packed[2],
+            )
         else:
-            kind = col(9)
-            is_tri = kind == f32(KIND_TRIANGLE)
-            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
-            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
-            ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
+            pslot = None
+            # unified primitive test; plane normal v1 x v2 is precomputed per
+            # row at scene compile (cols 29-31) — saves 6 ops in the hot loop
+            nx, ny, nz = col(29), col(30), col(31)
+            rx = ox - v0x
+            ry = oy - v0y
+            rz = oz - v0z
+            qx = ry * dz - rz * dy
+            qy = rz * dx - rx * dz
+            qz = rx * dy - ry * dx
+            dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+            u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+            v = dd * (qx * v1x + qy * v1y + qz * v1z)
+            t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+            in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
+            if analytic:
+                # triangle-only table: spheres/quads were pre-tested as baked
+                # immediates, so the whole sphere branch and the quad/tri kind
+                # selects drop out of the hot loop. (t_pq <= best_t) is implied
+                # by the accept's strict (pt < best_t) — not tested twice.
+                phit = in_tri & (tmin <= t_pq)
+                pt = t_pq
+                pu, pv = u, v
+            else:
+                kind = col(9)
+                is_tri = kind == f32(KIND_TRIANGLE)
+                in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
+                ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
+                ok_pq &= (tmin <= t_pq) & (t_pq <= best_t)
 
-            radius = v1x
-            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
-            sc = rx * rx + ry * ry + rz * rz - radius * radius
-            disc = sb * sb - f32(4.0) * sc
-            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-            st0 = f32(-0.5) * (sb + sq)
-            st1 = f32(-0.5) * (sb - sq)
-            ok0 = (tmin <= st0) & (st0 <= best_t)
-            ok1 = (tmin <= st1) & (st1 <= best_t)
-            t_s = jnp.where(ok0, st0, st1)
-            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
+                radius = v1x
+                sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
+                sc = rx * rx + ry * ry + rz * rz - radius * radius
+                disc = sb * sb - f32(4.0) * sc
+                sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+                st0 = f32(-0.5) * (sb + sq)
+                st1 = f32(-0.5) * (sb - sq)
+                ok0 = (tmin <= st0) & (st0 <= best_t)
+                ok1 = (tmin <= st1) & (st1 <= best_t)
+                t_s = jnp.where(ok0, st0, st1)
+                ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
 
-            is_sphere = kind == f32(KIND_SPHERE)
-            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
-            pt = jnp.where(is_sphere, t_s, t_pq)
-            zero = jnp.zeros_like(pt)
-            pu = jnp.where(is_sphere, zero, u)
-            pv = jnp.where(is_sphere, zero, v)
+                is_sphere = kind == f32(KIND_SPHERE)
+                phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+                pt = jnp.where(is_sphere, t_s, t_pq)
+                zero = jnp.zeros_like(pt)
+                pu = jnp.where(is_sphere, zero, u)
+                pv = jnp.where(is_sphere, zero, v)
 
         accept = (active & is_prim_s) & phit & (pt < best_t)
         out = dict(c)
@@ -963,8 +1022,11 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             out["t"] = jnp.where(accept, pt, c["t"])
             out["u"] = jnp.where(accept, pu, c["u"])
             out["v"] = jnp.where(accept, pv, c["v"])
-            cur_b = jnp.broadcast_to(cur, ox.shape)
-            out["wrow"] = jnp.where(accept, cur_b, c["wrow"])
+            if packed is not None:
+                win = pslot.astype(jnp.int32)
+            else:
+                win = jnp.broadcast_to(cur, ox.shape)
+            out["wrow"] = jnp.where(accept, win, c["wrow"])
         else:
             out["hitf"] = jnp.where(accept, f32(1.0), c["hitf"])
             if pred is not None:
@@ -984,7 +1046,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         if prefetch and hbm_bufs is None:
             # inactive/done packets may select a stale row; harmless — their
             # `active` mask (or the loop cond) discards everything downstream
-            sel = jnp.broadcast_to(take_exit, (SUBLANES, TRACE_COLS))
+            sel = jnp.broadcast_to(take_exit, fetch_a.shape)
             out["rows8"] = jnp.where(sel, fetch_b, fetch_a)
         out["nit"] = c["nit"] + f32(1.0)  # row-visit counter (~2 ops/iter)
         return out
@@ -998,22 +1060,23 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         _dma_rows8(rows_ref, total_rows, base, scr_a, sem_a)
     elif prefetch:
         init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
+    enc = packed[1] if packed is not None else total_rows
     if analytic:
         pre = _analytic_pretest(
-            analytic, total_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
+            analytic, enc, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
         )
         init.update(pre)
     elif want_payload:
         init["t"] = tmax
         init["u"] = jnp.zeros(ox.shape, f32)
         init["v"] = jnp.zeros(ox.shape, f32)
-        init["wrow"] = jnp.full(ox.shape, total_rows, jnp.int32)
+        init["wrow"] = jnp.full(ox.shape, enc, jnp.int32)
     else:
         init["hitf"] = jnp.zeros(ox.shape, f32)
     if not want_payload and pred is not None:
         ph, vrow = _anyhit_pretest(
             rows_ref, total_rows, analytic, pred,
-            ox, oy, oz, dx, dy, dz, tmin, tmax,
+            ox, oy, oz, dx, dy, dz, tmin, tmax, packed=packed,
         )
         init["hitf"] = jnp.maximum(init["hitf"], ph)
         init["orow"] = vrow
@@ -1025,11 +1088,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     if not want_payload:
         return final
     return _resolve_winners(rows_ref, total_rows, analytic, final,
-                            hbm_bufs=hbm_bufs)
+                            hbm_bufs=hbm_bufs, packed=packed)
 
 
 def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
-                    ox, oy, oz, dx, dy, dz, tmin, tmax, rounds=4):
+                    ox, oy, oz, dx, dy, dz, tmin, tmax, rounds=4,
+                    packed=None):
     """Shadow-ray occlusion-cache verification (arXiv 1910.01304's ray-path
     prediction, packet form): ``pred`` holds each lane's predicted occluder
     row (the row that occluded its previous shadow ray; -1 = none). Up to
@@ -1051,6 +1115,21 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
         tgt = jnp.min(pending, axis=1, keepdims=True)  # (8,1)
         rows8 = _fetch_rows8(rows_ref, total_rows, tgt)
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
+        if packed is not None:
+            # any-hit on the packed row: the tournament's min-t winner is
+            # < tmax iff ANY of the PACKED_N hits is (all others are >= it)
+            bhit, bt, _, _, _ = _prim_test(
+                rows8, ox, oy, oz, dx, dy, dz, tmin, tmax, analytic,
+                packed=packed[2],
+            )
+            phit = bhit & (bt < tmax)
+            tgt_b = jnp.broadcast_to(tgt, shp)
+            sel = (pending == tgt_b) & (tgt_b < total_rows)
+            verified = sel & phit
+            hitf = jnp.where(verified, f32(1.0), hitf)
+            vrow = jnp.where(verified, tgt_b, vrow)
+            pending = jnp.where(sel, jnp.int32(total_rows), pending)
+            continue
         v0x, v0y, v0z = col(0), col(1), col(2)
         v1x, v1y, v1z = col(3), col(4), col(5)
         v2x, v2y, v2z = col(6), col(7), col(8)
@@ -1095,16 +1174,26 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
     return hitf, vrow
 
 
-def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
+def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
+                     packed=None):
     """Fill kind/tag/midx/payload for each lane's winning row.
 
     Loops over the DISTINCT winning rows per packet (min-first), fetching each
     once and selecting it into the lanes it won — O(unique winners) iterations
     instead of paying 18 selects on every traversal step. Baked-analytic
     winners (wrow == num_rows + k) are filled from compile-time constants.
+
+    With ``packed=(pay_base, n_pay)``, wrow holds payload-ROW slots (not walk
+    rows); payload is fetched from the slot-indexed section at
+    rows[pay_base + slot] (cols: 0 kind, 1 tag, 2 midx, 3-17 payload) and
+    analytic/miss winners encode from n_pay.
     """
     wrow = walk["wrow"]
-    miss = num_rows + len(analytic)
+    if packed is not None:
+        pay_base, enc = packed[0], packed[1]
+    else:
+        pay_base, enc = 0, num_rows
+    miss = enc + len(analytic)
     shp = walk["t"].shape
     outs = dict(
         t=walk["t"],
@@ -1117,26 +1206,36 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
     )
     for j in range(15):
         outs[f"pay{j}"] = jnp.zeros(shp, f32)
-    outs["pending"] = jnp.where(wrow < num_rows, wrow, jnp.int32(num_rows))
+    outs["pending"] = jnp.where(wrow < enc, wrow, jnp.int32(enc))
     outs["nit"] = walk["nit"]
 
     def cond(c):
-        return jnp.any(c["pending"] < num_rows)
+        return jnp.any(c["pending"] < enc)
 
     def body(c):
         tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
+        fetch_at = tgt + pay_base if packed is not None else tgt
         if hbm_bufs is not None:
             rows8 = _fetch_rows8_hbm_sync(
-                rows_ref, num_rows, tgt, hbm_bufs[2], hbm_bufs[3]
+                rows_ref, num_rows, fetch_at, hbm_bufs[2], hbm_bufs[3]
             )
         else:
-            rows8 = _fetch_rows8(rows_ref, num_rows, tgt)
+            rows8 = _fetch_rows8(rows_ref, num_rows, fetch_at)
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], wrow.shape)
         tgt_b = jnp.broadcast_to(tgt, wrow.shape)
-        # the < num_rows guard keeps miss lanes (wrow == num_rows) from
+        # the < enc guard keeps miss lanes (wrow == enc) from
         # matching a fully-resolved packet's sentinel target
-        sel = (wrow == tgt_b) & (tgt_b < num_rows)
+        sel = (wrow == tgt_b) & (tgt_b < enc)
         out = dict(c)
+        if packed is not None:
+            out["kind"] = jnp.where(sel, col(0), c["kind"])
+            out["tag"] = jnp.where(sel, col(1), c["tag"])
+            out["midx"] = jnp.where(sel, col(2), c["midx"])
+            for j in range(15):
+                out[f"pay{j}"] = jnp.where(sel, col(3 + j), c[f"pay{j}"])
+            out["pending"] = jnp.where(sel, jnp.int32(enc), c["pending"])
+            out["nit"] = c["nit"] + f32(1.0)
+            return out
         kind = col(9)
         is_tri = kind == f32(KIND_TRIANGLE)
         out["kind"] = jnp.where(sel, kind, c["kind"])
@@ -1147,7 +1246,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
             geo = col(j) if j < 9 else jnp.zeros_like(kind)
             pay = jnp.where(is_tri, col(14 + j), geo)
             out[f"pay{j}"] = jnp.where(sel, pay, c[f"pay{j}"])
-        out["pending"] = jnp.where(sel, jnp.int32(num_rows), c["pending"])
+        out["pending"] = jnp.where(sel, jnp.int32(enc), c["pending"])
         out["nit"] = c["nit"] + f32(1.0)
         return out
 
@@ -1157,7 +1256,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None):
     # analytic winners: constants, no fetch needed (payload convention
     # matches the in-table rows: pay0..8 = a,b,c geometry, rest zero)
     for k, entry in enumerate(analytic):
-        sel = wrow == jnp.int32(num_rows + k)
+        sel = wrow == jnp.int32(enc + k)
         resolved["kind"] = jnp.where(sel, f32(entry[0]), resolved["kind"])
         resolved["tag"] = jnp.where(sel, f32(entry[1]), resolved["tag"])
         resolved["midx"] = jnp.where(sel, f32(entry[2]), resolved["midx"])
@@ -1268,6 +1367,7 @@ def _bounce_loop(rows_ref, cfg, init):
     tbl_rows = cfg["tbl_rows"]
     total_rows = cfg["total_rows"]
     ntab = cfg["ntab"]
+    packed = cfg.get("packed")
     prefetch = cfg.get("prefetch", False)
     spec = cfg.get("spec", False)
     groups = cfg.get("groups", 1)
@@ -1334,6 +1434,7 @@ def _bounce_loop(rows_ref, cfg, init):
             spec=spec,
             groups=groups,
             group_octant=group_octant,
+            packed=packed,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -1605,6 +1706,7 @@ def _bounce_loop(rows_ref, cfg, init):
                 pred=s["srow"].astype(jnp.int32) if shadow_cache else None,
                 groups=groups,
                 group_octant=group_octant,
+                packed=packed,
             )
         unoccluded = sh["hitf"] == 0
 
@@ -1995,9 +2097,17 @@ def render_tiles(
     ntab = scene.mega_num_tables_static
 
     cfg = dict(
-        tbl_rows=rows.shape[0] // ntab,
+        tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
+        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # section appended after the walk tables (see scene.compile)
+        packed=(
+            (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,
+             scene.mega_packed_static)
+            if scene.mega_packed_static
+            else None
+        ),
         max_bounces=max_bounces,
         camera=scene.camera_static,
         width=width,
@@ -2326,9 +2436,17 @@ def render_waves(
     ntab = scene.mega_num_tables_static
 
     base_cfg = dict(
-        tbl_rows=rows.shape[0] // ntab,
+        tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
+        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # section appended after the walk tables (see scene.compile)
+        packed=(
+            (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,
+             scene.mega_packed_static)
+            if scene.mega_packed_static
+            else None
+        ),
         camera=scene.camera_static,
         width=width,
         height=height,
@@ -2479,9 +2597,17 @@ def render_waves_chained(
     ntab = scene.mega_num_tables_static
 
     base_cfg = dict(
-        tbl_rows=rows.shape[0] // ntab,
+        tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
+        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # section appended after the walk tables (see scene.compile)
+        packed=(
+            (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,
+             scene.mega_packed_static)
+            if scene.mega_packed_static
+            else None
+        ),
         camera=scene.camera_static,
         width=width,
         height=height,

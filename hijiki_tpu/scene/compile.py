@@ -165,6 +165,20 @@ class CompiledScene:
     mega_num_tables_static: int = dataclasses.field(
         metadata=dict(static=True), default=1
     )
+    # Packed leaf rows (see build_packed_trace_rows): trace_rows_mega is
+    # (ntab * mega_tbl_rows_static) walk rows followed by
+    # mega_pay_rows_static slot-indexed payload rows. Value = prims per
+    # packed row (3 = 32-wide PACKED3 format, 4 = 64-wide format);
+    # 0 = classic unpacked 32-wide rows, payload inline.
+    mega_packed_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
+    mega_tbl_rows_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
+    mega_pay_rows_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
     # Shadow-visibility boxes (scene/lightvis.py): world-space AABBs proven
     # to see the emitters unoccluded; NEE shadow rays originating inside
     # any box skip the any-hit walk exactly. Packed flat as
@@ -180,6 +194,8 @@ class CompiledScene:
     @property
     def mega_tbl_rows(self) -> int:
         """Rows per traversal table inside trace_rows_mega."""
+        if self.mega_tbl_rows_static:
+            return self.mega_tbl_rows_static
         return self.trace_rows_mega.shape[0] // self.mega_num_tables_static
 
 
@@ -310,9 +326,175 @@ def build_octant_trace_tables(bvh, prim_args) -> np.ndarray:
     return np.concatenate(tables, axis=0)
 
 
+# --- packed leaf rows (megakernel, analytic mode only) ---------------------
+# A packed trace row carries up to PACKED_N triangles tested in ONE walker
+# iteration (the walker pays its fixed per-iteration cost — slab vote,
+# cursor logic, fetch — once per PACKED_N prims instead of once per prim).
+# Row layout, PACKED_ROW_WIDTH f32 wide:
+#   cols 0-2 / 3-5   aabb min/max (interior rows)
+#   col  9           -1 interior, +1 packed-prim row
+#   col  10          exit row
+#   prim k in 0..PACKED_N-1 at base B = PACKED_BASE + PACKED_STRIDE*k:
+#     B..B+2  v0   B+3..B+5  edge1   B+6..B+8  edge2
+#     B+9..B+11  plane normal edge1 x edge2
+#     B+12  slot (payload-row index; shading data lives in the payload
+#           section appended after the walk tables — see
+#           build_packed_trace_rows)
+# Leaves with fewer than a multiple of PACKED_N prims pad by repeating the
+# last prim: with the walker's strict-< earliest-wins accept, a duplicate
+# can never beat its original, so padding is exact.
+PACKED_ROW_WIDTH = 64
+PACKED_N = 4
+PACKED_BASE = 12
+PACKED_STRIDE = 13
+
+# The 3-prim variant keeps the ORIGINAL 32-col row width — the walk-probe
+# attribution (PERF_NOTES §9s) showed per-iteration cost is fetch-width-
+# bound, not ALU-bound: 64-wide rows cost ~+20%/iteration while the whole
+# prim test costs ~4%. Layout (prim rows; interiors unchanged):
+#   prim0 v0/v1/v2 at cols 0-8 (exactly the unpacked layout)
+#   prim1 at cols 11-19, prim2 at cols 20-28
+#   col 29 = slot of prim0; slots are CONSECUTIVE (slot_k = slot0 + k)
+#   col 9 kind flag, col 10 exit as always
+# Plane normals are recomputed in-kernel (f32 cross — bitwise-identical to
+# the numpy f32 bake); short leaves pad with degenerate all-zero triangles
+# (NaN t can never win the strict-min tournament).
+PACKED3_N = 3
+PACKED3_BASES = (0, 11, 20)
+PACKED3_SLOT_COL = 29
+
+
+def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
+                            prim_midx, prim_payload, nper=PACKED_N):
+    """Flatten a (triangle-only) threaded BVH into packed trace rows plus a
+    slot-indexed payload table.
+
+    Returns ``(rows (R, PACKED_ROW_WIDTH) f32, pay (P, PACKED_ROW_WIDTH)
+    f32)``. Payload rows: col 0 kind, col 1 material tag, col 2 material
+    index, cols 3-17 the 15-float shading payload (build_trace_rows cols
+    14-28). The caller appends ``pay`` after the walk table(s); the
+    megakernel's winner-resolve loop fetches payload by slot from there.
+
+    Same traversal semantics as ``build_trace_rows`` (reference walk:
+    ``shader/scene.glsl:99-133``): a leaf of count prims becomes
+    ceil(count / PACKED_N) consecutive packed rows threaded by exit
+    pointers. Within a row the walker takes the strict-min-t hit with
+    earliest-prim tie-break, which is exactly the sequential per-prim
+    walk's outcome.
+    """
+    assert nper in (PACKED3_N, PACKED_N)
+    width = TRACE_ROW_WIDTH if nper == PACKED3_N else PACKED_ROW_WIDTH
+    n_nodes = bvh.aabb_min.shape[0]
+    counts = bvh.count.astype(np.int64)
+    packs_per_leaf = np.where(counts > 0, -(-counts // nper), 0)
+    rows_per_node = np.where(counts > 0, packs_per_leaf, 1)
+    row_start = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(rows_per_node, out=row_start[1:])
+    total = int(row_start[-1])
+    n_prims = prim_a.shape[0]
+    assert total < 2**24 and n_prims < 2**24, (
+        "packed trace table exceeds f32 exact-integer indexing"
+    )
+
+    rows = np.zeros((total, width), dtype=np.float32)
+    is_leaf = counts > 0
+    exit_rows = row_start[np.minimum(bvh.exit.astype(np.int64), n_nodes)]
+
+    int_r = row_start[:-1][~is_leaf]
+    rows[int_r, 0:3] = bvh.aabb_min[~is_leaf]
+    rows[int_r, 3:6] = bvh.aabb_max[~is_leaf]
+    rows[int_r, 9] = -1.0
+    rows[int_r, 10] = exit_rows[~is_leaf]
+
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    if leaf_nodes.size:
+        leaf_packs = packs_per_leaf[leaf_nodes]
+        node_rep = np.repeat(leaf_nodes, leaf_packs)  # owning node per row
+        ends = np.cumsum(leaf_packs)
+        j = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(
+            ends - leaf_packs, leaf_packs
+        )  # pack index within the leaf
+        r = row_start[node_rep] + j
+        rows[r, 9] = 1.0
+        last = j + 1 == np.repeat(leaf_packs, leaf_packs)
+        rows[r, 10] = np.where(last, exit_rows[node_rep], r + 1)
+        if nper == PACKED3_N:
+            # 32-wide: consecutive slots from one base col; tails pad with
+            # degenerate all-zero triangles (never hit, NaN t never wins)
+            rows[r, PACKED3_SLOT_COL] = bvh.first[node_rep] + j * nper
+            for k in range(nper):
+                slot = bvh.first[node_rep].astype(np.int64) + j * nper + k
+                valid = j * nper + k < counts[node_rep]
+                B = PACKED3_BASES[k]
+                sl = slot[valid]
+                rv = r[valid]
+                rows[rv, B : B + 3] = prim_a[sl]
+                rows[rv, B + 3 : B + 6] = prim_b[sl]
+                rows[rv, B + 6 : B + 9] = prim_c[sl]
+        else:
+            normals = np.cross(prim_b, prim_c).astype(np.float32)
+            for k in range(nper):
+                # prim k of each pack; short tails repeat the last prim
+                slot = bvh.first[node_rep].astype(np.int64) + np.minimum(
+                    j * nper + k, counts[node_rep] - 1
+                )
+                B = PACKED_BASE + PACKED_STRIDE * k
+                rows[r, B : B + 3] = prim_a[slot]
+                rows[r, B + 3 : B + 6] = prim_b[slot]
+                rows[r, B + 6 : B + 9] = prim_c[slot]
+                rows[r, B + 9 : B + 12] = normals[slot]
+                rows[r, B + 12] = slot
+
+    assert np.all(prim_kind == KIND_TRIANGLE), (
+        "packed trace rows are triangle-only (analytic prims are baked)"
+    )
+    pay = np.zeros((n_prims, width), dtype=np.float32)
+    pay[:, 0] = prim_kind
+    pay[:, 1] = prim_tag
+    pay[:, 2] = prim_midx
+    pay[:, 3:18] = prim_payload
+    return rows, pay
+
+
+def build_packed_octant_tables(bvh, prim_args, nper=PACKED_N):
+    """8 packed flattenings (one per ray-direction octant, near-to-far child
+    order) with absolute exit pointers, plus the shared payload table (slots
+    are octant-invariant: all flattenings index the same prim order)."""
+    from hijiki_tpu.accel.bvh import order_children_octant
+
+    tables = []
+    R = None
+    pay = None
+    for octant in range(8):
+        rows_o, pay_o = build_packed_trace_rows(
+            order_children_octant(bvh, octant), *prim_args, nper=nper
+        )
+        if R is None:
+            R, pay = rows_o.shape[0], pay_o
+            assert 8 * R < 2**24, (
+                "packed octant tables exceed f32 exact-integer indexing"
+            )
+        assert rows_o.shape[0] == R, "octant flattenings must agree in size"
+        rows_o[:, 10] += np.float32(octant * R)
+        tables.append(rows_o)
+    return np.concatenate(tables, axis=0), pay
+
+
 def compile_scene(
-    scene: Scene, leaf_size: int = 1, collapse: int = 1, octant_tables: str = "auto"
+    scene: Scene, leaf_size: int = 1, collapse: int = 1, octant_tables: str = "auto",
+    packed_leaf="auto",
 ) -> CompiledScene:
+    """Compile a Scene to device arrays + baked statics.
+
+    ``packed_leaf``: 0 = classic unpacked trace rows; N > 0 = pack leaves
+    of N triangles per trace row (build_packed_trace_rows; N <= 3 uses the
+    32-wide PACKED3 format, N >= 4 the 64-wide format); "auto" = pack with
+    PACKED_N exactly when the megakernel table is headed for HBM streaming
+    (large scenes), where a packed row moves 4 prims per row DMA instead
+    of 1 (measured 1.079x, PERF_NOTES §9s). The 64-wide format measured
+    0.91x for VMEM-resident tables (its fetch-width tax); PACKED3 keeps
+    fetch width and targets the same iteration reduction there.
+    """
     spheres: list[tuple[Sphere, int]] = []
     quads: list[tuple[Quad, int]] = []
     tris: list[tuple[Triangle, int]] = []
@@ -492,8 +674,11 @@ def compile_scene(
     NA = S + Q
     midx_mask = (1 << MATERIAL_TAG_SHIFT) - 1
     mega_num_tables = 1
+    mega_packed = 0  # prims per packed row (0 = unpacked)
+    mega_tbl_rows = 0  # 0 = derive as rows // ntab (unpacked, no pay section)
+    mega_pay_rows = 0
 
-    def want_octants(base_rows: int) -> bool:
+    def want_octants(base_rows: int, row_width: int = TRACE_ROW_WIDTH) -> bool:
         if octant_tables == "never":
             return False
         if 8 * base_rows >= 2**24:
@@ -501,7 +686,7 @@ def compile_scene(
             return False
         if octant_tables == "always":
             return True
-        base = base_rows * TRACE_ROW_WIDTH * 4
+        base = base_rows * row_width * 4
         # 8 copies must fit the VMEM budget. Tables past MEGA_VMEM_TABLE_BYTES
         # stream from HBM where octants measured only +4% — but the HBM
         # footprint is 8x the table (and row padding makes it 32x the base),
@@ -523,8 +708,18 @@ def compile_scene(
             )
         analytic_bake = tuple(analytic)
         if T:
+            if packed_leaf == "auto":
+                # pack iff the unpacked table would stream from HBM
+                # (~2 rows/tri at leaf 1): packed rows quadruple the prims
+                # moved per row DMA. VMEM-resident tables measured 0.91x
+                # packed (PERF_NOTES §9s) and stay unpacked.
+                est_unpacked = 2 * T * TRACE_ROW_WIDTH * 4
+                use_packed = PACKED_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
+            else:
+                use_packed = int(packed_leaf)
             tri_bvh = build_bvh(
-                aabb_min[NA:], aabb_max[NA:], leaf_size=leaf_size
+                aabb_min[NA:], aabb_max[NA:],
+                leaf_size=use_packed if use_packed > 0 else leaf_size,
             )
             if collapse:
                 tri_bvh = collapse_bvh(tri_bvh, rounds=collapse)
@@ -540,10 +735,33 @@ def compile_scene(
                 tri_mats & midx_mask,
                 payload[tri_order],
             )
-            trace_rows_mega = build_trace_rows(tri_bvh, *tri_prim_args)
-            if want_octants(trace_rows_mega.shape[0]):
-                trace_rows_mega = build_octant_trace_tables(tri_bvh, tri_prim_args)
-                mega_num_tables = 8
+            if use_packed > 0:
+                # packed leaf rows: nper prims per walker iteration; shading
+                # payload in a slot-indexed section appended after the walk
+                # table(s). leaf <= 3 -> the 32-wide PACKED3 format (fetch
+                # width unchanged); leaf >= 4 -> the 64-wide format.
+                nper = PACKED3_N if use_packed <= PACKED3_N else PACKED_N
+                width = TRACE_ROW_WIDTH if nper == PACKED3_N else PACKED_ROW_WIDTH
+                walk, pay = build_packed_trace_rows(
+                    tri_bvh, *tri_prim_args, nper=nper
+                )
+                Rp = walk.shape[0]
+                if want_octants(Rp, width):
+                    walk, pay = build_packed_octant_tables(
+                        tri_bvh, tri_prim_args, nper=nper
+                    )
+                    mega_num_tables = 8
+                trace_rows_mega = np.concatenate([walk, pay], axis=0)
+                mega_packed = nper
+                mega_tbl_rows = Rp
+                mega_pay_rows = pay.shape[0]
+            else:
+                trace_rows_mega = build_trace_rows(tri_bvh, *tri_prim_args)
+                if want_octants(trace_rows_mega.shape[0]):
+                    trace_rows_mega = build_octant_trace_tables(
+                        tri_bvh, tri_prim_args
+                    )
+                    mega_num_tables = 8
         else:
             # all-analytic scene: one inert interior row (never hit, exits)
             trace_rows_mega = np.zeros((1, TRACE_ROW_WIDTH), dtype=np.float32)
@@ -677,6 +895,9 @@ def compile_scene(
         emitter_bake_static=tuple(em_bake),
         material_bake_static=material_bake,
         mega_num_tables_static=mega_num_tables,
+        mega_packed_static=mega_packed,
+        mega_tbl_rows_static=mega_tbl_rows,
+        mega_pay_rows_static=mega_pay_rows,
         shadow_vis_static=shadow_vis,
     )
 

@@ -485,3 +485,92 @@ def test_chained_overflow_counter_reports_drops(setup):
         phase_shrink=(64,), interpret=True,
     )
     assert int(ch[4]) > 0
+
+
+def test_packed_leaf_rows_bitwise_identical():
+    """Packed leaf rows (scene.compile.build_packed_trace_rows): at EQUAL
+    tree shape (leaf_size=N unpacked vs packed_leaf=N), the in-row strict-
+    min-t earliest-tie tournament reproduces the sequential per-prim walk
+    exactly — images must be bitwise identical across every walker variant
+    (spec, grouped, plain, HBM DMA) and the any-hit/shadow path."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    cs_p = scene_to_device(compile_scene(scene, packed_leaf=4))
+    cs_u = scene_to_device(compile_scene(scene, packed_leaf=0, leaf_size=4))
+    assert cs_p.mega_packed_static and not cs_u.mega_packed_static
+
+    W, H = 64, 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    variants = [
+        dict(packet=128, groups=1),                       # spec walker
+        dict(packet=256, groups=2),                       # grouped spec
+        dict(packet=128, groups=1, spec=False),           # plain walker
+        dict(packet=128, groups=1, spec=False, table_in_hbm=True),  # DMA
+    ]
+    for kw in variants:
+        out_p = render_tiles(cs_p, px, py, seeds, width=W, height=H,
+                             max_bounces=12, interpret=True, **kw)
+        out_u = render_tiles(cs_u, px, py, seeds, width=W, height=H,
+                             max_bounces=12, interpret=True, **kw)
+        for a, b in zip(out_p[:3], out_u[:3]):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), kw
+
+
+def test_packed3_leaf_rows_ulp_identical():
+    """PACKED3 (32-wide, 3 prims/row) recomputes plane normals in-kernel,
+    which contracts differently from the numpy bake — winners match the
+    unpacked equal-tree walk but t/u/v shift by ULPs. Radiance must agree
+    to float-noise tolerance; winner identity (hit mask) must be exact."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    cs_p = scene_to_device(compile_scene(scene, packed_leaf=3))
+    cs_u = scene_to_device(compile_scene(scene, packed_leaf=0, leaf_size=3))
+    assert cs_p.mega_packed_static == 3
+    assert cs_p.trace_rows_mega.shape[1] == 32
+
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    tp, np_p, dp, _ = render_tiles(cs_p, px, py, seeds, width=W, height=H,
+                                   max_bounces=12, interpret=True,
+                                   packet=128, groups=1)
+    tu, np_u, du, _ = render_tiles(cs_u, px, py, seeds, width=W, height=H,
+                                   max_bounces=12, interpret=True,
+                                   packet=128, groups=1)
+    assert np.allclose(np.asarray(tp), np.asarray(tu), atol=1e-4, rtol=1e-3)
+    # same winners: depth differs only by the ULP-shifted t of the SAME prim
+    assert np.allclose(np.asarray(dp), np.asarray(du), atol=1e-4)
+
+
+def test_packed_auto_gate():
+    """packed_leaf='auto' packs only scenes headed for HBM streaming; cbox
+    (VMEM-resident, measured 0.91x packed) stays unpacked. Packing requires
+    the analytic (triangle-only-table) specialization — cbox+spheres."""
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    assert not compile_scene(scene).mega_packed_static
+    assert compile_scene(scene, packed_leaf=4).mega_packed_static
