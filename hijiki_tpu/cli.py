@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--max-bounces", type=int, default=1000)
+    p.add_argument(
+        "--packed-leaf",
+        default="auto",
+        help="Megakernel trace-row format: auto (pack 4-wide for "
+        "HBM-streamed scenes, classic rows otherwise), 0 = classic, "
+        "1 = SLIM 16-col rows, 2-3 = 32-col 3-prim rows, 4+ = 64-col "
+        "4-prim rows (scene/compile.py packed_leaf)",
+    )
     p.add_argument("--checkpoint", default=None, help="Checkpoint file to write/resume")
     p.add_argument(
         "--checkpoint-interval", type=int, default=0, help="Sweeps between checkpoints"
@@ -144,7 +152,10 @@ def main(argv=None) -> int:
         scene.put_cbox_spheres()
     if args.put_dielectric_sphere:
         scene.put_dielectric_sphere()
-    compiled = compile_scene(scene)
+    packed_leaf = args.packed_leaf
+    if packed_leaf != "auto":
+        packed_leaf = int(packed_leaf)
+    compiled = compile_scene(scene, packed_leaf=packed_leaf)
     print(
         f"Compiled scene: {compiled.num_spheres} spheres, {compiled.num_quads} quads, "
         f"{compiled.num_triangles} triangles, {compiled.num_emitters} emitters, "

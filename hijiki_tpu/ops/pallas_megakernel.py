@@ -79,6 +79,10 @@ PACKED_STRIDE = 13
 PACKED3_N = 3
 PACKED3_BASES = (0, 11, 20)
 PACKED3_SLOT_COL = 29
+# nper=1: SLIM 16-wide rows — prim at cols 0-8, slot at col 11, normal
+# recomputed; payload spans SLIM_PAY_STRIDE consecutive 16-wide pay rows
+SLIM_SLOT_COL = 11
+SLIM_PAY_STRIDE = 2
 TILE = SUBLANES * PACKET
 # per-sweep channels flushed by the chained kernel as samples finish
 # (same order as the wavefront result buffer):
@@ -531,17 +535,20 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
         assert analytic, "packed trace rows are triangle-only (analytic mode)"
         bhit = bt = bu = bv = bsl = None
         for k in range(packed):
-            if packed == PACKED3_N:
+            if packed == 1:
+                B = 0
+            elif packed == PACKED3_N:
                 B = PACKED3_BASES[k]
             else:
                 B = PACKED_BASE + PACKED_STRIDE * k
             v0x, v0y, v0z = col(B), col(B + 1), col(B + 2)
             v1x, v1y, v1z = col(B + 3), col(B + 4), col(B + 5)
             v2x, v2y, v2z = col(B + 6), col(B + 7), col(B + 8)
-            if packed == PACKED3_N:
-                # recompute the plane normal (f32 mul/sub — bitwise equal to
-                # the numpy f32 bake); VPU issue slots are not the walker's
-                # bottleneck (PERF_NOTES §9s), keeping rows at fetch width 32
+            if packed in (1, PACKED3_N):
+                # recompute the plane normal (ULP-class vs the numpy bake —
+                # same winners); VPU issue slots are not the walker's
+                # bottleneck (PERF_NOTES §9s), keeping rows at fetch width
+                # 16/32
                 nx = v1y * v2z - v1z * v2y
                 ny = v1z * v2x - v1x * v2z
                 nz = v1x * v2y - v1y * v2x
@@ -558,7 +565,9 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
             v = dd * (qx * v1x + qy * v1y + qz * v1z)
             t_pq = -dd * (nx * rx + ny * ry + nz * rz)
             phit = (u >= 0) & (v >= 0) & (u + v <= f32(1.0)) & (tmin <= t_pq)
-            if packed == PACKED3_N:
+            if packed == 1:
+                sl = col(SLIM_SLOT_COL)
+            elif packed == PACKED3_N:
                 sl = f32(k)  # literal; winner adds the base-slot col below
             else:
                 sl = col(B + 12)
@@ -1212,9 +1221,20 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     def cond(c):
         return jnp.any(c["pending"] < enc)
 
+    slim = packed is not None and packed[2] == 1
+    assert not (slim and hbm_bufs is not None), (
+        "SLIM tables are VMEM-only (the resolve pay fetch is a direct "
+        "slice); use packed_leaf=4 for HBM-streamed scenes"
+    )
+
     def body(c):
         tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
-        fetch_at = tgt + pay_base if packed is not None else tgt
+        if slim:
+            fetch_at = tgt * SLIM_PAY_STRIDE + pay_base
+        elif packed is not None:
+            fetch_at = tgt + pay_base
+        else:
+            fetch_at = tgt
         if hbm_bufs is not None:
             rows8 = _fetch_rows8_hbm_sync(
                 rows_ref, num_rows, fetch_at, hbm_bufs[2], hbm_bufs[3]
@@ -1231,8 +1251,20 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
             out["kind"] = jnp.where(sel, col(0), c["kind"])
             out["tag"] = jnp.where(sel, col(1), c["tag"])
             out["midx"] = jnp.where(sel, col(2), c["midx"])
-            for j in range(15):
-                out[f"pay{j}"] = jnp.where(sel, col(3 + j), c[f"pay{j}"])
+            if slim:
+                rows8b = _fetch_rows8(rows_ref, num_rows, fetch_at + 1)
+                colb = lambda j: jnp.broadcast_to(
+                    rows8b[:, j : j + 1], wrow.shape
+                )
+                for j in range(12):
+                    out[f"pay{j}"] = jnp.where(sel, col(3 + j), c[f"pay{j}"])
+                for j in range(12, 15):
+                    out[f"pay{j}"] = jnp.where(
+                        sel, colb(j - 12), c[f"pay{j}"]
+                    )
+            else:
+                for j in range(15):
+                    out[f"pay{j}"] = jnp.where(sel, col(3 + j), c[f"pay{j}"])
             out["pending"] = jnp.where(sel, jnp.int32(enc), c["pending"])
             out["nit"] = c["nit"] + f32(1.0)
             return out

@@ -363,6 +363,16 @@ PACKED3_N = 3
 PACKED3_BASES = (0, 11, 20)
 PACKED3_SLOT_COL = 29
 
+# The 1-prim SLIM format halves the row to 16 cols — the walk reads only
+# cols 0-10 (+ slot): interior aabb at 0-5 or prim v0/v1/v2 at 0-8, kind
+# at 9, exit at 10, payload slot at 11; the plane normal is recomputed
+# in-kernel and the 18-float payload (kind/tag/midx + 15 shading floats)
+# lives in TWO consecutive 16-wide pay rows per prim (row0: kind, tag,
+# midx, pay0-11; row1: pay12-14).
+SLIM_ROW_WIDTH = 16
+SLIM_SLOT_COL = 11
+SLIM_PAY_STRIDE = 2
+
 
 def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
                             prim_midx, prim_payload, nper=PACKED_N):
@@ -382,8 +392,13 @@ def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
     earliest-prim tie-break, which is exactly the sequential per-prim
     walk's outcome.
     """
-    assert nper in (PACKED3_N, PACKED_N)
-    width = TRACE_ROW_WIDTH if nper == PACKED3_N else PACKED_ROW_WIDTH
+    assert nper in (1, PACKED3_N, PACKED_N)
+    if nper == 1:
+        width = SLIM_ROW_WIDTH
+    elif nper == PACKED3_N:
+        width = TRACE_ROW_WIDTH
+    else:
+        width = PACKED_ROW_WIDTH
     n_nodes = bvh.aabb_min.shape[0]
     counts = bvh.count.astype(np.int64)
     packs_per_leaf = np.where(counts > 0, -(-counts // nper), 0)
@@ -418,7 +433,13 @@ def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
         rows[r, 9] = 1.0
         last = j + 1 == np.repeat(leaf_packs, leaf_packs)
         rows[r, 10] = np.where(last, exit_rows[node_rep], r + 1)
-        if nper == PACKED3_N:
+        if nper == 1:
+            slot = bvh.first[node_rep].astype(np.int64) + j
+            rows[r, 0:3] = prim_a[slot]
+            rows[r, 3:6] = prim_b[slot]
+            rows[r, 6:9] = prim_c[slot]
+            rows[r, SLIM_SLOT_COL] = slot
+        elif nper == PACKED3_N:
             # 32-wide: consecutive slots from one base col; tails pad with
             # degenerate all-zero triangles (never hit, NaN t never wins)
             rows[r, PACKED3_SLOT_COL] = bvh.first[node_rep] + j * nper
@@ -448,6 +469,15 @@ def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
     assert np.all(prim_kind == KIND_TRIANGLE), (
         "packed trace rows are triangle-only (analytic prims are baked)"
     )
+    if nper == 1:
+        # SLIM: 18 payload floats across SLIM_PAY_STRIDE consecutive rows
+        pay = np.zeros((n_prims * SLIM_PAY_STRIDE, width), dtype=np.float32)
+        pay[0::2, 0] = prim_kind
+        pay[0::2, 1] = prim_tag
+        pay[0::2, 2] = prim_midx
+        pay[0::2, 3:15] = prim_payload[:, :12]
+        pay[1::2, 0:3] = prim_payload[:, 12:15]
+        return rows, pay
     pay = np.zeros((n_prims, width), dtype=np.float32)
     pay[:, 0] = prim_kind
     pay[:, 1] = prim_tag
@@ -738,10 +768,15 @@ def compile_scene(
             if use_packed > 0:
                 # packed leaf rows: nper prims per walker iteration; shading
                 # payload in a slot-indexed section appended after the walk
-                # table(s). leaf <= 3 -> the 32-wide PACKED3 format (fetch
-                # width unchanged); leaf >= 4 -> the 64-wide format.
-                nper = PACKED3_N if use_packed <= PACKED3_N else PACKED_N
-                width = TRACE_ROW_WIDTH if nper == PACKED3_N else PACKED_ROW_WIDTH
+                # table(s). leaf 1 -> the 16-wide SLIM format (half fetch
+                # width); leaf 2-3 -> the 32-wide PACKED3 format; leaf >= 4
+                # -> the 64-wide format.
+                if use_packed == 1:
+                    nper, width = 1, SLIM_ROW_WIDTH
+                elif use_packed <= PACKED3_N:
+                    nper, width = PACKED3_N, TRACE_ROW_WIDTH
+                else:
+                    nper, width = PACKED_N, PACKED_ROW_WIDTH
                 walk, pay = build_packed_trace_rows(
                     tri_bvh, *tri_prim_args, nper=nper
                 )

@@ -59,3 +59,16 @@ def test_cli_flag_validation(tmp_path):
     # unknown builtin
     with pytest.raises(KeyError):
         main(["builtin:nope", "-w", "64", "-H", "64", "-s", "1"])
+
+
+def test_cli_packed_leaf_flag(tmp_path):
+    from hijiki_tpu.cli import main
+
+    out = str(tmp_path / "slim.exr")
+    rc = main(["builtin:cornell", "--use-bvh", "-w", "64", "-H", "64",
+               "-s", "1", "--block-size", "64", "--max-bounces", "6",
+               "--packed-leaf", "1", "-o", out])
+    assert rc in (0, None)
+    import os
+
+    assert os.path.exists(out)

@@ -574,3 +574,38 @@ def test_packed_auto_gate():
     scene.put_cbox_spheres()
     assert not compile_scene(scene).mega_packed_static
     assert compile_scene(scene, packed_leaf=4).mega_packed_static
+
+
+def test_slim_leaf_rows_ulp_identical():
+    """SLIM (16-wide, 1 prim/row, slot-indexed 2-row payload) walks the
+    SAME tree as the unpacked default — only the in-kernel normal recompute
+    shifts t/u/v by ULPs. Radiance and AOVs must agree to float noise."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    cs_s = scene_to_device(compile_scene(scene, packed_leaf=1))
+    cs_u = scene_to_device(compile_scene(scene, packed_leaf=0))
+    assert cs_s.mega_packed_static == 1
+    assert cs_s.trace_rows_mega.shape[1] == 16
+    # the slim table (walk + 2-row payload) is smaller than unpacked
+    assert cs_s.trace_rows_mega.nbytes < cs_u.trace_rows_mega.nbytes
+
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    for kw in (dict(packet=128, groups=1), dict(packet=128, groups=1, spec=False)):
+        ts, ns, ds, _ = render_tiles(cs_s, px, py, seeds, width=W, height=H,
+                                     max_bounces=12, interpret=True, **kw)
+        tu, nu, du, _ = render_tiles(cs_u, px, py, seeds, width=W, height=H,
+                                     max_bounces=12, interpret=True, **kw)
+        assert np.allclose(np.asarray(ts), np.asarray(tu), atol=1e-4, rtol=1e-3), kw
+        assert np.allclose(np.asarray(ds), np.asarray(du), atol=1e-4), kw

@@ -45,7 +45,7 @@ REPS = 5
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [0, 3, 4]
+    sizes = [int(a) for a in sys.argv[1:]] or [0, 1, 3, 4]
     print(f"devices: {jax.devices()}, {W}x{H}, P={P}, G={G}", file=sys.stderr)
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()

@@ -73,7 +73,7 @@ def make_runner(cs, groups):
         ntab=ntab,
         analytic=cs.analytic_bake_static,
         groups=groups,
-        packed=((ntab * R, cs.mega_pay_rows_static)
+        packed=((ntab * R, cs.mega_pay_rows_static, cs.mega_packed_static)
                 if cs.mega_packed_static else None),
     )
 
@@ -129,6 +129,51 @@ def camera_rays_np(cs, W, H):
     return jnp.asarray(o3), jnp.asarray(d3)
 
 
+def make_w16_scene(cs):
+    """Probe variant: the walk only reads cols 0-10 + the plane normal —
+    build a 16-wide table (normals moved to cols 11-13) to measure the
+    fetch-width term in isolation. Resolve reads garbage payload; t/iters
+    are unaffected (timing probe only)."""
+    import dataclasses
+
+    rows = np.asarray(cs.trace_rows_mega)
+    slim = np.zeros((rows.shape[0], 16), np.float32)
+    slim[:, :11] = rows[:, :11]
+    slim[:, 11:14] = rows[:, 29:32]
+    return dataclasses.replace(cs, trace_rows_mega=slim)
+
+
+def patch_normals_at_11():
+    """Pair with make_w16_scene: read plane normals from cols 11-13."""
+    orig = mk._prim_test
+    f32 = mk.f32
+
+    def prim_test_n11(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
+                      packed=False):
+        assert analytic and not packed
+        shp = ox.shape
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        v2x, v2y, v2z = col(6), col(7), col(8)
+        nx, ny, nz = col(11), col(12), col(13)
+        rx = ox - v0x
+        ry = oy - v0y
+        rz = oz - v0z
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
+        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
+        v = dd * (qx * v1x + qy * v1y + qz * v1z)
+        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
+        phit = (u >= 0) & (v >= 0) & (u + v <= f32(1.0)) & (tmin <= t_pq)
+        return phit, t_pq, u, v, None
+
+    mk._prim_test = prim_test_n11
+    return orig
+
+
 def patch_no_test():
     orig = mk._prim_test
 
@@ -143,7 +188,55 @@ def patch_no_test():
     return orig
 
 
+def main_widths():
+    """Fetch-width isolation: the same unpacked walk over 16- vs 32-wide
+    rows (identical ALU: both read baked normals, just at different cols),
+    plus pack3/pack4 for context. Usage: walk_probe.py widths [W] [G]."""
+    W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    groups = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    print(f"devices: {jax.devices()}, {W}x{H}, P={P}, G={groups}",
+          file=sys.stderr)
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    cs_u = scene_to_device(compile_scene(scene, packed_leaf=0))
+    variants = {
+        "w32": (cs_u, None),
+        "w16": (scene_to_device(make_w16_scene(cs_u)), patch_normals_at_11),
+        "slim": (scene_to_device(compile_scene(scene, packed_leaf=1)), None),
+        "pack3": (scene_to_device(compile_scene(scene, packed_leaf=3)), None),
+        "pack4": (scene_to_device(compile_scene(scene, packed_leaf=4)), None),
+    }
+    o, d = camera_rays_np(cs_u, W, H)
+
+    runners, stats = {}, {}
+    for key, (cs, patch) in variants.items():
+        orig = patch() if patch else None
+        run = make_runner(cs, groups)
+        t, nit = run(o, d)  # trace+warm inside the patch window
+        stats[key] = (float(jnp.sum(nit)) / (SUBLANES * P),
+                      float(jnp.sum(jnp.where(t < 1e30, t, 0.0))))
+        runners[key] = run
+        if orig:
+            mk._prim_test = orig
+
+    times = {k: [] for k in runners}
+    for _ in range(7):
+        for key, run in runners.items():
+            t0 = time.monotonic()
+            t, nit = run(o, d)
+            _ = float(jnp.sum(nit))
+            times[key].append(time.monotonic() - t0)
+    base = min(times["w32"])
+    for key in runners:
+        best = min(times[key])
+        iters, s = stats[key]
+        print(f"{key:6s}: {best*1e3:7.2f} ms  tile-iters {iters:8.0f}  "
+              f"t-sum {s:12.1f}  vs w32: {base/best:.3f}x")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "widths":
+        return main_widths()
     W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     groups = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     print(f"devices: {jax.devices()}, {W}x{H}, P={P}, G={groups}",
