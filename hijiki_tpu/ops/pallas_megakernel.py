@@ -465,7 +465,7 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
         nit=jnp.zeros((SUBLANES, 1), f32),
     )
     enc = packed[1] if packed is not None else total_rows
-    if analytic:
+    if analytic is not None:
         pre = _analytic_pretest(
             analytic, enc, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
         )
@@ -532,7 +532,9 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
     shp = ox.shape
     col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
     if packed:
-        assert analytic, "packed trace rows are triangle-only (analytic mode)"
+        assert analytic is not None, (
+            "packed trace rows are triangle-only (analytic mode)"
+        )
         bhit = bt = bu = bv = bsl = None
         for k in range(packed):
             if packed == 1:
@@ -598,7 +600,7 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
     v = dd * (qx * v1x + qy * v1y + qz * v1z)
     t_pq = -dd * (nx * rx + ny * ry + nz * rz)
     in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-    if analytic:
+    if analytic is not None:
         # (t_pq <= best_t) is implied by the accept's strict (pt < best_t)
         phit = in_tri & (tmin <= t_pq)
         return phit, t_pq, u, v, None
@@ -798,7 +800,7 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     for g in range(G):
         rows0 = _fetch_rows8(rows_ref, total_rows, bases[g])
         gi = dict(cur=bases[g])
-        if analytic:
+        if analytic is not None:
             gi.update(_analytic_pretest(
                 analytic, enc, oxg[g], oyg[g], ozg[g],
                 dxg[g], dyg[g], dzg[g], tming[g], tmaxg[g], want_payload,
@@ -991,7 +993,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
             v = dd * (qx * v1x + qy * v1y + qz * v1z)
             t_pq = -dd * (nx * rx + ny * ry + nz * rz)
             in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-            if analytic:
+            if analytic is not None:
                 # triangle-only table: spheres/quads were pre-tested as baked
                 # immediates, so the whole sphere branch and the quad/tri kind
                 # selects drop out of the hot loop. (t_pq <= best_t) is implied
@@ -1070,7 +1072,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     elif prefetch:
         init["rows8"] = _fetch_rows8(rows_ref, total_rows, base)
     enc = packed[1] if packed is not None else total_rows
-    if analytic:
+    if analytic is not None:
         pre = _analytic_pretest(
             analytic, enc, ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload
         )
@@ -1154,7 +1156,7 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
         v = dd * (qx * v1x + qy * v1y + qz * v1z)
         t_pq = -dd * (nx * rx + ny * ry + nz * rz)
         in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-        if analytic:
+        if analytic is not None:
             phit = in_tri & (tmin <= t_pq) & (t_pq < tmax)
         else:
             kind = col(9)
@@ -1202,7 +1204,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
         pay_base, enc = packed[0], packed[1]
     else:
         pay_base, enc = 0, num_rows
-    miss = enc + len(analytic)
+    miss = enc + len(analytic or ())
     shp = walk["t"].shape
     outs = dict(
         t=walk["t"],
@@ -1287,7 +1289,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     resolved.pop("pending")
     # analytic winners: constants, no fetch needed (payload convention
     # matches the in-table rows: pay0..8 = a,b,c geometry, rest zero)
-    for k, entry in enumerate(analytic):
+    for k, entry in enumerate(analytic or ()):
         sel = wrow == jnp.int32(enc + k)
         resolved["kind"] = jnp.where(sel, f32(entry[0]), resolved["kind"])
         resolved["tag"] = jnp.where(sel, f32(entry[1]), resolved["tag"])
@@ -2147,7 +2149,11 @@ def render_tiles(
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
         bbox=scene.bbox_static,
-        analytic=scene.analytic_bake_static,
+        analytic=(
+            scene.analytic_bake_static
+            if scene.mega_analytic_mode_static
+            else None
+        ),
         shadow_vis=scene.shadow_vis_static if shadow_vis else (),
         lane_sort=lane_sort,
         prefetch=prefetch,
@@ -2485,7 +2491,11 @@ def render_waves(
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
         bbox=scene.bbox_static,
-        analytic=scene.analytic_bake_static,
+        analytic=(
+            scene.analytic_bake_static
+            if scene.mega_analytic_mode_static
+            else None
+        ),
         shadow_vis=scene.shadow_vis_static if shadow_vis else (),
         lane_sort=lane_sort,
         prefetch=prefetch,
@@ -2646,7 +2656,11 @@ def render_waves_chained(
         emitters=scene.emitter_bake_static,
         materials=scene.material_bake_static,
         bbox=scene.bbox_static,
-        analytic=scene.analytic_bake_static,
+        analytic=(
+            scene.analytic_bake_static
+            if scene.mega_analytic_mode_static
+            else None
+        ),
         shadow_vis=scene.shadow_vis_static if shadow_vis else (),
         lane_sort=False,
         prefetch=prefetch,

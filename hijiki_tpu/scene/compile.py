@@ -173,6 +173,13 @@ class CompiledScene:
     mega_packed_static: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
+    # True = trace_rows_mega is triangle-only (analytic prims, if any, are
+    # baked into analytic_bake_static); False = mixed-kind rows. Pure-
+    # triangle scenes (zero analytic prims) are analytic-mode with an empty
+    # bake — the kernel receives analytic=None only for mixed tables.
+    mega_analytic_mode_static: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
     mega_tbl_rows_static: int = dataclasses.field(
         metadata=dict(static=True), default=0
     )
@@ -705,6 +712,7 @@ def compile_scene(
     midx_mask = (1 << MATERIAL_TAG_SHIFT) - 1
     mega_num_tables = 1
     mega_packed = 0  # prims per packed row (0 = unpacked)
+
     mega_tbl_rows = 0  # 0 = derive as rows // ntab (unpacked, no pay section)
     mega_pay_rows = 0
 
@@ -723,7 +731,13 @@ def compile_scene(
         # so auto skips them there; opt in with octant_tables='always'.
         return 8 * base <= OCTANT_TABLE_BUDGET_BYTES
 
-    if 0 < NA <= 8:
+    # analytic specialization: up to 8 analytic prims (spheres/quads) baked
+    # as compile-time immediates, the walk table triangle-only. NA == 0
+    # (pure-triangle scenes, e.g. plain cbox) qualifies with an empty bake —
+    # the walker still drops the sphere/quad branch and packing applies.
+    mega_analytic_mode = False
+    if NA <= 8:
+        mega_analytic_mode = True
         analytic = []
         for sh in range(NA):
             analytic.append(
@@ -930,6 +944,7 @@ def compile_scene(
         emitter_bake_static=tuple(em_bake),
         material_bake_static=material_bake,
         mega_num_tables_static=mega_num_tables,
+        mega_analytic_mode_static=mega_analytic_mode,
         mega_packed_static=mega_packed,
         mega_tbl_rows_static=mega_tbl_rows,
         mega_pay_rows_static=mega_pay_rows,

@@ -71,7 +71,8 @@ def make_runner(cs, groups):
         tbl_rows=R,
         total_rows=rows.shape[0],
         ntab=ntab,
-        analytic=cs.analytic_bake_static,
+        analytic=(cs.analytic_bake_static
+                  if cs.mega_analytic_mode_static else None),
         groups=groups,
         packed=((ntab * R, cs.mega_pay_rows_static, cs.mega_packed_static)
                 if cs.mega_packed_static else None),
