@@ -70,15 +70,20 @@ TRACE_COLS = 32
 # packed=(pay_base, n_pay, nper) or None; with packed, analytic/miss
 # winners encode as n_pay + k and `wrow` carries payload-row slots.
 # nper=4: 64-wide rows, PACKED_N tris at stride PACKED_STRIDE from col
-# PACKED_BASE with baked normals + per-prim slot cols. nper=3: 32-wide
-# rows, tris at PACKED3_BASES, normals recomputed in-kernel, consecutive
-# slots from col PACKED3_SLOT_COL.
+# PACKED_BASE with baked normals + per-prim slot cols. nper=3/12: 32/128-
+# wide rows, tris at PACKED3_BASES/PACKED12_BASES, normals recomputed
+# in-kernel, consecutive slots from col PACKED3_SLOT_COL/PACKED12_SLOT_COL.
 PACKED_N = 4
 PACKED_BASE = 12
 PACKED_STRIDE = 13
 PACKED3_N = 3
 PACKED3_BASES = (0, 11, 20)
 PACKED3_SLOT_COL = 29
+# nper=12: 128-wide rows (full HBM DMA width), tris at PACKED12_BASES,
+# normals recomputed in-kernel, consecutive slots from col PACKED12_SLOT_COL
+PACKED12_N = 12
+PACKED12_BASES = (0,) + tuple(11 + 9 * k for k in range(11))
+PACKED12_SLOT_COL = 110
 # nper=1: SLIM 16-wide rows — prim at cols 0-8, slot at col 11, normal
 # recomputed; payload spans SLIM_PAY_STRIDE consecutive 16-wide pay rows
 SLIM_SLOT_COL = 11
@@ -176,8 +181,9 @@ def _randf(s):
 
 def _check_groups(packet, groups, spec, table_in_hbm):
     """Validate the grouped-walker configuration early (kernel tracing
-    failures are opaque). Groups >1 require the spec VMEM walker and whole
-    128-lane VREG rows per group."""
+    failures are opaque). Groups >1 require whole 128-lane VREG rows per
+    group, and (for VMEM tables) the spec walker; HBM tables route to the
+    DMA-pipelined grouped walker, which overlaps the G groups' row copies."""
     if groups == 1:
         return
     if groups < 1 or packet % (groups * PACKET) != 0:
@@ -186,13 +192,8 @@ def _check_groups(packet, groups, spec, table_in_hbm):
             f"{groups * PACKET} (got {packet}): each cursor group must own "
             f"at least one full 128-lane VREG row"
         )
-    if not spec:
+    if not spec and not table_in_hbm:
         raise ValueError("groups>1 requires the spec walker (spec=True)")
-    if table_in_hbm:
-        raise ValueError(
-            "groups>1 is VMEM-table only (the HBM DMA pipeline is "
-            "single-cursor); drop groups or table_in_hbm"
-        )
 
 
 def _fetch_rows8(rows_ref, num_rows, cur):
@@ -206,27 +207,29 @@ def _fetch_rows8(rows_ref, num_rows, cur):
     )
 
 
-def _dma_rows8(rows_ref, num_rows, cur, scratch, sems):
+def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, slot=0):
     """Async-copy one (128-wide padded) trace row per packet from the
     HBM-resident table into an (8, HBM_ROW_WIDTH) VMEM scratch slot. The
     slice index must be a scalar extracted straight from a loop-carried
     (8,1) cursor: vector index arithmetic feeding a DMA descriptor hits
     Mosaic's unimplemented lane broadcast, and extraction from computed
-    selects hits invalid relayouts. Waits re-derive the same descriptors."""
+    selects hits invalid relayouts. Waits re-derive the same descriptors.
+    ``slot`` selects a group's 8-sublane region of a (G*8, W) scratch
+    (grouped HBM walker)."""
     for k in range(SUBLANES):
         pltpu.make_async_copy(
             rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
-            scratch.at[pl.ds(k, 1), :],
-            sems.at[k],
+            scratch.at[pl.ds(slot * SUBLANES + k, 1), :],
+            sems.at[slot * SUBLANES + k],
         ).start()
 
 
-def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems):
+def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, slot=0):
     for k in range(SUBLANES):
         pltpu.make_async_copy(
             rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
-            scratch.at[pl.ds(k, 1), :],
-            sems.at[k],
+            scratch.at[pl.ds(slot * SUBLANES + k, 1), :],
+            sems.at[slot * SUBLANES + k],
         ).wait()
 
 
@@ -241,19 +244,20 @@ def _fetch_rows8_hbm_sync(rows_ref, num_rows, cur, scratch, sems):
 def _with_hbm_bufs(cfg, fn):
     """Run ``fn(cfg)`` with per-kernel DMA staging buffers in cfg['hbm_bufs']
     when the trace table lives in HBM (cfg['hbm']): one (8,128) VMEM slot
-    for the walker's pipelined row fetch, one for the resolve loop's
-    synchronous fetch, and their DMA semaphores."""
+    per cursor group for the walker's pipelined row fetches, one for the
+    resolve loop's synchronous fetch, and their DMA semaphores."""
     if not cfg.get("hbm"):
         fn(cfg)
         return
+    G = cfg.get("groups", 1)
 
     def inner(scr_a, sem_a, scr_r, sem_r):
         fn(dict(cfg, hbm_bufs=(scr_a, sem_a, scr_r, sem_r)))
 
     pl.run_scoped(
         inner,
-        pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
-        pltpu.SemaphoreType.DMA((SUBLANES,)),
+        pltpu.VMEM((G * SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+        pltpu.SemaphoreType.DMA((G * SUBLANES,)),
         pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
         pltpu.SemaphoreType.DMA((SUBLANES,)),
     )
@@ -516,10 +520,11 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
     (plane-normal cols 29-31 precomputed at scene compile); shapes follow
     ``ox``. Returns (phit, pt, pu, pv, pslot); pslot is None unless packed.
 
-    ``packed``: prims per packed row — 0 = classic single-prim row, 3 = the
-    32-wide PACKED3 format (normals recomputed in-kernel, consecutive slots
-    from one base col), 4 = the 64-wide format (baked normals, per-prim
-    slot cols). Analytic tables only — see scene.compile. All packed prims
+    ``packed``: prims per packed row — 0 = classic single-prim row, 3/12 =
+    the 32/128-wide PACKED3/PACKED12 formats (normals recomputed in-kernel,
+    consecutive slots from one base col), 4 = the 64-wide format (baked
+    normals, per-prim slot cols). Analytic tables only — see scene.compile.
+    All packed prims
     are tested and reduced by a strict-min-t tournament with earliest-prim
     tie-break — exactly the outcome of the sequential unpacked walk over
     the same leaf (each accept there requires strictly smaller t than
@@ -541,12 +546,14 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
                 B = 0
             elif packed == PACKED3_N:
                 B = PACKED3_BASES[k]
+            elif packed == PACKED12_N:
+                B = PACKED12_BASES[k]
             else:
                 B = PACKED_BASE + PACKED_STRIDE * k
             v0x, v0y, v0z = col(B), col(B + 1), col(B + 2)
             v1x, v1y, v1z = col(B + 3), col(B + 4), col(B + 5)
             v2x, v2y, v2z = col(B + 6), col(B + 7), col(B + 8)
-            if packed in (1, PACKED3_N):
+            if packed in (1, PACKED3_N, PACKED12_N):
                 # recompute the plane normal (ULP-class vs the numpy bake —
                 # same winners); VPU issue slots are not the walker's
                 # bottleneck (PERF_NOTES §9s), keeping rows at fetch width
@@ -569,7 +576,7 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
             phit = (u >= 0) & (v >= 0) & (u + v <= f32(1.0)) & (tmin <= t_pq)
             if packed == 1:
                 sl = col(SLIM_SLOT_COL)
-            elif packed == PACKED3_N:
+            elif packed in (PACKED3_N, PACKED12_N):
                 sl = f32(k)  # literal; winner adds the base-slot col below
             else:
                 sl = col(B + 12)
@@ -584,6 +591,8 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
                 bhit = bhit | phit
         if packed == PACKED3_N:
             bsl = col(PACKED3_SLOT_COL) + bsl
+        elif packed == PACKED12_N:
+            bsl = col(PACKED12_SLOT_COL) + bsl
         return bhit, bt, bu, bv, bsl
     v0x, v0y, v0z = col(0), col(1), col(2)
     v1x, v1y, v1z = col(3), col(4), col(5)
@@ -847,6 +856,188 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                             hbm_bufs=None, packed=packed)
 
 
+def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
+                          ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                          groups, hbm_bufs, group_octant=True, packed=None):
+    """Grouped DMA-pipelined walk of an HBM-resident table: G independent
+    cursor groups, each with its own (8, HBM_ROW_WIDTH) scratch slot and
+    in-flight row copy.
+
+    The single-cursor HBM walk (in ``_traverse``) hides each row DMA behind
+    only ONE group's primitive test (~100-200 ns of math under a ~µs copy
+    latency) — the walk is DMA-latency-bound. Here iteration i overlaps all
+    G copies: pass 1 (per group: wait for its row, slab-vote, decide the
+    cursor, start the NEXT copy) means group g's in-flight copy has the
+    remaining groups' pass-1 math plus the whole of pass 2 (all G prim
+    tests) to land before its wait at iteration i+1. Group unions also
+    shrink exactly as in the VMEM grouped walker (PERF_NOTES §9m).
+
+    Exactness: identical per-lane accept semantics to every other walker;
+    images differ only in t-tie winners across groupings. The any-hit early
+    exit tests the previous iteration's hit flags (one extra iteration,
+    exact otherwise) — same as the single-cursor DMA walk.
+    """
+    G = groups
+    P = ox.shape[1]
+    W = P // G
+    scr_a, sem_a = hbm_bufs[:2]  # (G*8, HBM_ROW_WIDTH) scratch, (G*8,) sems
+
+    def split(a):
+        return [a[:, g * W : (g + 1) * W] for g in range(G)]
+
+    oxg, oyg, ozg = split(ox), split(oy), split(oz)
+    dxg, dyg, dzg = split(dx), split(dy), split(dz)
+    tming, tmaxg = split(tmin), split(tmax)
+    n_walk = packed[0] if packed is not None else total_rows
+    ntab = n_walk // tbl_rows
+    if group_octant and ntab > 1 and G > 1:
+        bases = [
+            _octant_base(tmaxg[g] >= 0, dxg[g], dyg[g], dzg[g],
+                         tbl_rows, ntab)
+            for g in range(G)
+        ]
+    else:
+        bases = [base] * G
+    ends = [b + tbl_rows for b in bases]
+    invg = [
+        (f32(1.0) / dxg[g], f32(1.0) / dyg[g], f32(1.0) / dzg[g])
+        for g in range(G)
+    ]
+    tog = [
+        (-oxg[g] * invg[g][0], -oyg[g] * invg[g][1], -ozg[g] * invg[g][2])
+        for g in range(G)
+    ]
+
+    def slab_vote(g, rows8, best_t, active_s):
+        inv_dx, inv_dy, inv_dz = invg[g]
+        tox, toy, toz = tog[g]
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, W))
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        is_prim_s = rows8[:, 9:10] >= f32(0.0)
+        ax = v0x * inv_dx + tox
+        bx = v1x * inv_dx + tox
+        ay = v0y * inv_dy + toy
+        by = v1y * inv_dy + toy
+        az = v0z * inv_dz + toz
+        bz = v1z * inv_dz + toz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+            jnp.minimum(az, bz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+            jnp.maximum(az, bz),
+        )
+        slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tming[g])
+        return jnp.any(slab & (active_s & ~is_prim_s), axis=1, keepdims=True)
+
+    def cond(c):
+        alive = c["g0"]["cur"] < ends[0]
+        for g in range(1, G):
+            alive = alive | (c[f"g{g}"]["cur"] < ends[g])
+        return jnp.any(alive)
+
+    def body(c):
+        out = {"nit": c["nit"] + f32(1.0)}
+        rows_g = []
+        curs_n = []
+        # pass 1: per group — wait for its in-flight row, read it, vote,
+        # decide the cursor, and start the next copy immediately
+        for g in range(G):
+            cg = c[f"g{g}"]
+            cur = cg["cur"]
+            _dma_rows8_wait(rows_ref, total_rows, cur, scr_a, sem_a, slot=g)
+            rows8 = scr_a[g * SUBLANES : (g + 1) * SUBLANES, :]
+            nexit = rows8[:, 10:11].astype(jnp.int32)
+            is_prim_s = rows8[:, 9:10] >= f32(0.0)
+            active = cur < ends[g]
+            if want_payload:
+                best_t = cg["t"]
+            else:
+                best_t = jnp.where(cg["hitf"] > 0, tming[g], tmaxg[g])
+            descend = slab_vote(g, rows8, best_t, active)
+            nxt = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
+            if not want_payload:
+                # early exit on the PREVIOUS iteration's flags (this row's
+                # accepts land in pass 2)
+                done_prev = jnp.all(
+                    (cg["hitf"] > 0) | (tmaxg[g] < 0), axis=1, keepdims=True
+                )
+                nxt = jnp.where(done_prev, ends[g], nxt)
+            nxt = jnp.where(active, nxt, cur)
+            _dma_rows8(rows_ref, total_rows, nxt, scr_a, sem_a, slot=g)
+            rows_g.append(rows8)
+            curs_n.append(nxt)
+        # pass 2: per group, primitive test of the current row — overlaps
+        # every group's in-flight copy
+        for g in range(G):
+            cg = c[f"g{g}"]
+            ng = dict(cg)
+            rows8 = rows_g[g]
+            is_prim_s = rows8[:, 9:10] >= f32(0.0)
+            active = cg["cur"] < ends[g]
+            if want_payload:
+                best_t = cg["t"]
+            else:
+                best_t = jnp.where(cg["hitf"] > 0, tming[g], tmaxg[g])
+            phit, pt, pu, pv, pslot = _prim_test(
+                rows8, oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
+                tming[g], best_t, analytic,
+                packed=packed[2] if packed is not None else 0,
+            )
+            accept = (active & is_prim_s) & phit & (pt < best_t)
+            if want_payload:
+                ng["t"] = jnp.where(accept, pt, cg["t"])
+                ng["u"] = jnp.where(accept, pu, cg["u"])
+                ng["v"] = jnp.where(accept, pv, cg["v"])
+                if packed is not None:
+                    win = pslot.astype(jnp.int32)
+                else:
+                    win = jnp.broadcast_to(cg["cur"], (SUBLANES, W))
+                ng["wrow"] = jnp.where(accept, win, cg["wrow"])
+            else:
+                ng["hitf"] = jnp.where(accept, f32(1.0), cg["hitf"])
+            ng["cur"] = curs_n[g]
+            out[f"g{g}"] = ng
+        return out
+
+    init = {"nit": jnp.zeros((SUBLANES, 1), f32)}
+    enc = packed[1] if packed is not None else total_rows
+    for g in range(G):
+        gi = dict(cur=bases[g])
+        if analytic is not None:
+            gi.update(_analytic_pretest(
+                analytic, enc, oxg[g], oyg[g], ozg[g],
+                dxg[g], dyg[g], dzg[g], tming[g], tmaxg[g], want_payload,
+            ))
+        elif want_payload:
+            gi["t"] = tmaxg[g]
+            gi["u"] = jnp.zeros((SUBLANES, W), f32)
+            gi["v"] = jnp.zeros((SUBLANES, W), f32)
+            gi["wrow"] = jnp.full((SUBLANES, W), enc, jnp.int32)
+        else:
+            gi["hitf"] = jnp.zeros((SUBLANES, W), f32)
+        _dma_rows8(rows_ref, total_rows, bases[g], scr_a, sem_a, slot=g)
+        init[f"g{g}"] = gi
+
+    final = jax.lax.while_loop(cond, body, init)
+    for g in range(G):
+        # drain the final in-flight copies so the scoped semaphores end at 0
+        _dma_rows8_wait(
+            rows_ref, total_rows, final[f"g{g}"]["cur"], scr_a, sem_a, slot=g
+        )
+    cat = lambda k: jnp.concatenate(
+        [final[f"g{g}"][k] for g in range(G)], axis=1
+    )
+    if not want_payload:
+        return dict(hitf=cat("hitf"), nit=final["nit"])
+    walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
+                nit=final["nit"])
+    return _resolve_winners(rows_ref, total_rows, analytic, walk,
+                            hbm_bufs=hbm_bufs, packed=packed)
+
+
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
               prefetch=False, hbm_bufs=None, spec=False, pred=None,
@@ -887,6 +1078,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
+        if groups > 1:
+            return _traverse_hbm_grouped(
+                rows_ref, tbl_rows, total_rows, analytic, base,
+                ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                groups, hbm_bufs, group_octant=group_octant, packed=packed,
+            )
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
     inv_dz = f32(1.0) / dz
@@ -1226,7 +1423,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     slim = packed is not None and packed[2] == 1
     assert not (slim and hbm_bufs is not None), (
         "SLIM tables are VMEM-only (the resolve pay fetch is a direct "
-        "slice); use packed_leaf=4 for HBM-streamed scenes"
+        "slice); use packed_leaf=12 (or 4) for HBM-streamed scenes"
     )
 
     def body(c):

@@ -466,7 +466,10 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
     if env:
         return int(env)
     if table_hbm:
-        return 1  # the HBM DMA pipeline is single-cursor
+        # grouped DMA pipelining (G in-flight row copies) exists but is
+        # unmeasured on hardware; auto stays single-cursor until an on-chip
+        # A/B lands (tools/ab_packedleaf.py --hbm + HIJIKI_MEGA_GROUPS)
+        return 1
     import jax
 
     if jax.devices()[0].platform == "cpu":

@@ -370,6 +370,22 @@ PACKED3_N = 3
 PACKED3_BASES = (0, 11, 20)
 PACKED3_SLOT_COL = 29
 
+# The 12-prim variant fills the HBM DMA width exactly. Mosaic DMA row slices
+# are 128-lane aligned, so HBM-streamed rows are padded to 128 cols no matter
+# the format — a 64-wide PACKED4 row wastes half of every 512 B row DMA.
+# With in-kernel normal recompute (vector ALU per iteration is nearly free,
+# docs/PERF_NOTES.md §9s) and consecutive slots, 12 triangles fit:
+#   prim0 v0/v1/v2 at cols 0-8 (exactly the unpacked layout)
+#   col 9 kind flag, col 10 exit (as always)
+#   prim k at PACKED12_BASES[k] (9 cols each: v0, edge1, edge2)
+#   col 110 = slot of prim0; slots are CONSECUTIVE (slot_k = slot0 + k)
+# Short leaves pad with degenerate all-zero triangles (NaN t never wins the
+# strict-min tournament).
+PACKED12_N = 12
+PACKED12_BASES = (0,) + tuple(11 + 9 * k for k in range(11))
+PACKED12_SLOT_COL = 110
+PACKED12_ROW_WIDTH = 128
+
 # The 1-prim SLIM format halves the row to 16 cols — the walk reads only
 # cols 0-10 (+ slot): interior aabb at 0-5 or prim v0/v1/v2 at 0-8, kind
 # at 9, exit at 10, payload slot at 11; the plane normal is recomputed
@@ -399,11 +415,13 @@ def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
     earliest-prim tie-break, which is exactly the sequential per-prim
     walk's outcome.
     """
-    assert nper in (1, PACKED3_N, PACKED_N)
+    assert nper in (1, PACKED3_N, PACKED_N, PACKED12_N)
     if nper == 1:
         width = SLIM_ROW_WIDTH
     elif nper == PACKED3_N:
         width = TRACE_ROW_WIDTH
+    elif nper == PACKED12_N:
+        width = PACKED12_ROW_WIDTH
     else:
         width = PACKED_ROW_WIDTH
     n_nodes = bvh.aabb_min.shape[0]
@@ -446,14 +464,16 @@ def build_packed_trace_rows(bvh, prim_a, prim_b, prim_c, prim_kind, prim_tag,
             rows[r, 3:6] = prim_b[slot]
             rows[r, 6:9] = prim_c[slot]
             rows[r, SLIM_SLOT_COL] = slot
-        elif nper == PACKED3_N:
-            # 32-wide: consecutive slots from one base col; tails pad with
+        elif nper in (PACKED3_N, PACKED12_N):
+            # consecutive slots from one base col; tails pad with
             # degenerate all-zero triangles (never hit, NaN t never wins)
-            rows[r, PACKED3_SLOT_COL] = bvh.first[node_rep] + j * nper
+            bases = PACKED3_BASES if nper == PACKED3_N else PACKED12_BASES
+            slot_col = PACKED3_SLOT_COL if nper == PACKED3_N else PACKED12_SLOT_COL
+            rows[r, slot_col] = bvh.first[node_rep] + j * nper
             for k in range(nper):
                 slot = bvh.first[node_rep].astype(np.int64) + j * nper + k
                 valid = j * nper + k < counts[node_rep]
-                B = PACKED3_BASES[k]
+                B = bases[k]
                 sl = slot[valid]
                 rv = r[valid]
                 rows[rv, B : B + 3] = prim_a[sl]
@@ -525,12 +545,14 @@ def compile_scene(
 
     ``packed_leaf``: 0 = classic unpacked trace rows; N > 0 = pack leaves
     of N triangles per trace row (build_packed_trace_rows; N <= 3 uses the
-    32-wide PACKED3 format, N >= 4 the 64-wide format); "auto" = pack with
-    PACKED_N exactly when the megakernel table is headed for HBM streaming
-    (large scenes), where a packed row moves 4 prims per row DMA instead
-    of 1 (measured 1.079x, PERF_NOTES §9s). The 64-wide format measured
-    0.91x for VMEM-resident tables (its fetch-width tax); PACKED3 keeps
-    fetch width and targets the same iteration reduction there.
+    32-wide PACKED3 format, N == 4 the 64-wide format, N >= 5 the 128-wide
+    12-prim format); "auto" = pack with PACKED12_N exactly when the
+    megakernel table is headed for HBM streaming (large scenes): HBM rows
+    pad to 128 lanes, so the 128-wide format moves 12 prims per row DMA
+    where unpacked moves 1 at the same DMA size (PACKED4 measured 1.079x
+    there, PERF_NOTES §9s). The 64-wide format measured 0.91x for
+    VMEM-resident tables (its fetch-width tax); PACKED3 keeps fetch width
+    and targets the same iteration reduction there.
     """
     spheres: list[tuple[Sphere, int]] = []
     quads: list[tuple[Quad, int]] = []
@@ -754,11 +776,13 @@ def compile_scene(
         if T:
             if packed_leaf == "auto":
                 # pack iff the unpacked table would stream from HBM
-                # (~2 rows/tri at leaf 1): packed rows quadruple the prims
-                # moved per row DMA. VMEM-resident tables measured 0.91x
-                # packed (PERF_NOTES §9s) and stay unpacked.
+                # (~2 rows/tri at leaf 1): HBM rows pad to 128 lanes, so the
+                # 128-wide 12-prim format moves 12 prims per row DMA where
+                # unpacked moves 1 at the same DMA size. VMEM-resident
+                # tables measured 0.91x packed (PERF_NOTES §9s) and stay
+                # unpacked.
                 est_unpacked = 2 * T * TRACE_ROW_WIDTH * 4
-                use_packed = PACKED_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
+                use_packed = PACKED12_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
             else:
                 use_packed = int(packed_leaf)
             tri_bvh = build_bvh(
@@ -783,14 +807,17 @@ def compile_scene(
                 # packed leaf rows: nper prims per walker iteration; shading
                 # payload in a slot-indexed section appended after the walk
                 # table(s). leaf 1 -> the 16-wide SLIM format (half fetch
-                # width); leaf 2-3 -> the 32-wide PACKED3 format; leaf >= 4
-                # -> the 64-wide format.
+                # width); leaf 2-3 -> the 32-wide PACKED3 format; leaf 4
+                # -> the 64-wide format; leaf >= 5 -> the 128-wide 12-prim
+                # format (full HBM DMA width).
                 if use_packed == 1:
                     nper, width = 1, SLIM_ROW_WIDTH
                 elif use_packed <= PACKED3_N:
                     nper, width = PACKED3_N, TRACE_ROW_WIDTH
-                else:
+                elif use_packed == PACKED_N:
                     nper, width = PACKED_N, PACKED_ROW_WIDTH
+                else:
+                    nper, width = PACKED12_N, PACKED12_ROW_WIDTH
                 walk, pay = build_packed_trace_rows(
                     tri_bvh, *tri_prim_args, nper=nper
                 )

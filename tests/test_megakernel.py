@@ -151,12 +151,11 @@ def test_grouped_walker_validation():
     from hijiki_tpu.ops.pallas_megakernel import _check_groups
 
     _check_groups(1024, 4, True, False)  # valid
+    _check_groups(1024, 4, False, True)  # valid: grouped DMA-pipelined HBM
     with pytest.raises(ValueError):
         _check_groups(256, 4, True, False)  # 4 groups need packet >= 512
     with pytest.raises(ValueError):
-        _check_groups(512, 4, False, False)  # needs spec walker
-    with pytest.raises(ValueError):
-        _check_groups(1024, 4, True, True)  # HBM tables are single-cursor
+        _check_groups(512, 4, False, False)  # VMEM tables need spec walker
 
 
 def test_render_waves_matches_single_launch(setup):
@@ -561,6 +560,89 @@ def test_packed3_leaf_rows_ulp_identical():
     assert np.allclose(np.asarray(tp), np.asarray(tu), atol=1e-4, rtol=1e-3)
     # same winners: depth differs only by the ULP-shifted t of the SAME prim
     assert np.allclose(np.asarray(dp), np.asarray(du), atol=1e-4)
+
+
+def test_packed12_leaf_rows_ulp_identical():
+    """PACKED12 (128-wide, 12 prims/row, full HBM DMA width) recomputes
+    plane normals in-kernel like PACKED3 — winners match the unpacked
+    equal-tree walk but t/u/v shift by ULPs. Covers the spec, grouped, and
+    HBM-DMA walkers (the format's target mode)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    cs_p = scene_to_device(compile_scene(scene, packed_leaf=12))
+    cs_u = scene_to_device(compile_scene(scene, packed_leaf=0, leaf_size=12))
+    assert cs_p.mega_packed_static == 12
+    assert cs_p.trace_rows_mega.shape[1] == 128
+
+    W, H = 64, 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    variants = [
+        dict(packet=128, groups=1),                       # spec walker
+        dict(packet=256, groups=2),                       # grouped spec
+        dict(packet=128, groups=1, spec=False, table_in_hbm=True),  # DMA
+    ]
+    for kw in variants:
+        tp, np_p, dp, _ = render_tiles(cs_p, px, py, seeds, width=W, height=H,
+                                       max_bounces=12, interpret=True, **kw)
+        tu, np_u, du, _ = render_tiles(cs_u, px, py, seeds, width=W, height=H,
+                                       max_bounces=12, interpret=True, **kw)
+        # first-hit AOVs are RNG-free: ULP-class only
+        assert np.allclose(np.asarray(dp), np.asarray(du), atol=1e-4), kw
+        assert np.allclose(np.asarray(np_p), np.asarray(np_u), atol=1e-4), kw
+        # radiance: an ULP-shifted t can flip a later RNG decision (RR /
+        # dielectric) on isolated paths — the same class as the oracle
+        # silhouette reroutes (docs/PARITY.md). Bound the rerouted set and
+        # require everything else to match to float noise.
+        tp, tu = np.asarray(tp), np.asarray(tu)
+        bad = ~np.isclose(tp, tu, atol=1e-4, rtol=1e-3).all(axis=1)
+        assert bad.sum() <= N // 256, (kw, bad.sum())
+        assert abs(tp.mean() - tu.mean()) < 1e-3 * max(tu.mean(), 1e-6), kw
+
+
+def test_grouped_hbm_walker_bitwise():
+    """The grouped DMA-pipelined HBM walker (G in-flight row copies) visits
+    exactly the rows the grouped spec walker visits at the same G — per-lane
+    accept semantics are walker-independent, so images must be BITWISE
+    identical between grouped-HBM and grouped-VMEM-spec on the same table,
+    for both classic and PACKED12 formats."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+
+    W, H = 64, 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    for pl in (0, 12):
+        cs = scene_to_device(compile_scene(scene, packed_leaf=pl))
+        out_h = render_tiles(cs, px, py, seeds, width=W, height=H,
+                             max_bounces=12, interpret=True,
+                             packet=256, groups=2, spec=False,
+                             table_in_hbm=True)
+        out_v = render_tiles(cs, px, py, seeds, width=W, height=H,
+                             max_bounces=12, interpret=True,
+                             packet=256, groups=2, spec=True)
+        for a, b in zip(out_h[:3], out_v[:3]):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), pl
 
 
 def test_packed_auto_gate():

@@ -10,9 +10,13 @@ the leaf-1 tree (tree shape changes visit order); at EQUAL tree
 (packed_leaf=N vs leaf_size=N unpacked) images are bitwise identical
 (tests/test_megakernel.py).
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_packedleaf.py [sizes...]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_packedleaf.py \
+           [sizes...] [--scene=path.obj] [--hbm]
        sizes: 0 = unpacked leaf-1 baseline; N>0 = packed with leaf_size N
-       (N<=3: 32-wide PACKED3 rows; N>=4: 64-wide rows)
+       (N<=3: 32-wide PACKED3 rows; N==4: 64-wide rows; N>=5: 128-wide
+       12-prim rows). --scene picks the OBJ (default cbox+spheres);
+       --hbm forces HBM table streaming (the PACKED12 target mode —
+       pass with a big scene, e.g. /tmp/bigcbox.obj from make_bigscene.py).
 """
 
 import sys
@@ -45,10 +49,32 @@ REPS = 5
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [0, 1, 3, 4]
-    print(f"devices: {jax.devices()}, {W}x{H}, P={P}, G={G}", file=sys.stderr)
-    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
-    scene.put_cbox_spheres()
+    args = sys.argv[1:]
+    scene_path = "/root/reference/scenes/cbox/cbox.obj"
+    hbm = False
+    sizes = []
+    groups_override = None
+    for a in args:
+        if a.startswith("--scene="):
+            scene_path = a.split("=", 1)[1]
+        elif a == "--hbm":
+            hbm = True
+        elif a.startswith("--groups="):
+            groups_override = int(a.split("=", 1)[1])
+        else:
+            sizes.append(int(a))
+    sizes = sizes or [0, 1, 3, 4]
+    # HBM default: single cursor (the measured baseline); --groups=N tests
+    # the grouped DMA pipeline (G overlapped row copies)
+    groups = groups_override if groups_override else (1 if hbm else G)
+    print(
+        f"devices: {jax.devices()}, {W}x{H}, P={P}, G={groups}, hbm={hbm}, "
+        f"scene={scene_path}",
+        file=sys.stderr,
+    )
+    scene = load_obj_scene(scene_path)
+    if scene_path.endswith("cbox.obj"):
+        scene.put_cbox_spheres()
     compiled = {}
     for pl in sizes:
         cs = scene_to_device(compile_scene(scene, packed_leaf=pl))
@@ -72,7 +98,7 @@ def main():
     def run(cs):
         t, n, dep, st, ovf, bounces, rows, alb = render_waves(
             cs, px, py, seeds, width=W, height=H, max_bounces=1000, packet=P,
-            groups=G,
+            groups=groups, spec=not hbm, table_in_hbm=hbm,
         )
         return float(jnp.sum(t)), float(jnp.sum(rows)) / (8.0 * P)
 
