@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-2/3 on-chip measurement queue — run when the axon tunnel is live.
+# ONE TPU process at a time (memory: hijiki-tpu-workflow); this script runs
+# each probe sequentially and logs to /tmp/onchip/. Order follows
+# docs/ROADMAP.md's perf agenda.
+set -u
+export PYTHONPATH=/root/.axon_site:/root/repo
+cd /root/repo
+mkdir -p /tmp/onchip
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 2400 "$@" 2>&1 | tee /tmp/onchip/"$name".log | tail -12
+}
+
+# 0. sanity + current headline
+run bench python bench.py
+
+# 1. VMEM formats: SLIM (16-col) and PACKED3 (32-col 3-prim) vs classic
+run ab_vmem_formats python tools/ab_packedleaf.py 0 1 3
+
+# 2. HBM formats on the 405k-tri scene: classic vs PACKED4 vs PACKED12
+run ab_hbm_formats python tools/ab_packedleaf.py \
+  --scene=/tmp/bigcbox.obj --hbm 0 4 12
+
+# 3. grouped DMA-pipelined HBM walker at the winning format
+run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
+
+# 4. walk-isolated width probe (slice-count vs bytes cost model)
+run walk_probe python tools/walk_probe.py
+
+echo "=== queue done; logs in /tmp/onchip/ ==="
