@@ -657,6 +657,17 @@ def test_packed_auto_gate():
     assert not compile_scene(scene).mega_packed_static
     assert compile_scene(scene, packed_leaf=4).mega_packed_static
 
+    # a scene whose unpacked table would exceed the VMEM budget gets the
+    # 128-wide 12-prim HBM format automatically
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bigscene_probe import tri_soup_scene
+
+    big = compile_scene(tri_soup_scene(120_000))
+    assert big.mega_packed_static == 12
+    assert big.trace_rows_mega.shape[1] == 128
+
 
 def test_slim_leaf_rows_ulp_identical():
     """SLIM (16-wide, 1 prim/row, slot-indexed 2-row payload) walks the
