@@ -40,7 +40,7 @@ def _check_invariants(bvh, n, leaf_size):
     assert np.all(bvh.aabb_max[par] >= bvh.aabb_max[par + 1] - 1e-5)
 
 
-@pytest.mark.parametrize("leaf_size", [1, 4])
+@pytest.mark.parametrize("leaf_size", [1, 4, 12])
 @pytest.mark.parametrize("n", [1, 2, 7, 500])
 def test_native_invariants(native_available, leaf_size, n):
     rng = np.random.default_rng(n)
