@@ -30,4 +30,21 @@ run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
 # 4. walk-isolated width probe (slice-count vs bytes cost model)
 run walk_probe python tools/walk_probe.py
 
+# 5. the five BASELINE configs (headline refresh)
+run bench_configs python tools/bench_configs.py --quick
+
+# 6. CLI bitwise repeat-run parity on the real chip (the /verify gate for
+#    estimator-preserving changes: two same-seed renders must match bitwise)
+run verify_cli_a python -m hijiki_tpu.cli \
+  /root/reference/scenes/cbox/cbox.obj --put-cbox-spheres --use-bvh \
+  --driver mega -w 256 -H 256 -s 2 --seed 7 -o /tmp/onchip/verify_a.exr
+run verify_cli_b python -m hijiki_tpu.cli \
+  /root/reference/scenes/cbox/cbox.obj --put-cbox-spheres --use-bvh \
+  --driver mega -w 256 -H 256 -s 2 --seed 7 -o /tmp/onchip/verify_b.exr
+run verify_bitwise python -c 'import numpy as np
+from hijiki_tpu.utils.exr import read_exr
+a = read_exr("/tmp/onchip/verify_a.exr")
+b = read_exr("/tmp/onchip/verify_b.exr")
+print("bitwise identical:", np.array_equal(a, b), a.shape, float(a.mean()))'
+
 echo "=== queue done; logs in /tmp/onchip/ ==="
