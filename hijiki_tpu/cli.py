@@ -125,11 +125,29 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="Shard sweeps/blocks over this many devices (jax mesh)",
     )
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=("cpu", "tpu"),
+        help="Pin the jax platform before backend init. 'cpu' forces the "
+        "CPU backend at the CONFIG level too (an installed sitecustomize "
+        "can register a TPU backend that overrides the JAX_PLATFORMS env "
+        "var alone — and a broken TPU runtime then hangs the render at "
+        "init); default = jax's own choice",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from hijiki_tpu.utils.tpuenv import configure_tpu_env
 

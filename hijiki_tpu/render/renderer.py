@@ -104,6 +104,7 @@ class RenderConfig:
         "mega_groups",
         "mega_table_hbm",
         "seeds_from_blocks",
+        "interpret",
     ),
 )
 def render_sweep(
@@ -128,6 +129,9 @@ def render_sweep(
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
     seeds_from_blocks: bool = False,
+    # run the Pallas kernels (megakernel + reconstruction) in interpret
+    # mode — required on non-TPU backends (the renderer auto-sets this)
+    interpret: bool = False,
 ):
     """Trace + reconstruct one full-image sweep; returns (film_delta, stats).
 
@@ -168,6 +172,7 @@ def render_sweep(
             packet=mega_packet,
             groups=mega_groups,
             table_in_hbm=mega_table_hbm,
+            interpret=interpret,
         )
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)
@@ -227,7 +232,8 @@ def render_sweep(
         from hijiki_tpu.render.pallas_reconstruct import reconstruct_pallas
 
         film_delta = reconstruct_pallas(
-            total, normal, sample_offset, block_size=block_size, stddev=stddev
+            total, normal, sample_offset, block_size=block_size,
+            stddev=stddev, interpret=interpret,
         )
     else:
         film_delta = reconstruct_sweep(
@@ -276,6 +282,7 @@ from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_B
         "chain_cap",
         "mega_packet",
         "mega_groups",
+        "interpret",
         "mega_table_hbm",
     ),
 )
@@ -293,6 +300,7 @@ def render_sweeps_chained(
     mega_packet: int = 128,
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
+    interpret: bool = False,
 ):
     """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
     chaining, ops/pallas_megakernel.render_waves_chained) and reconstruct
@@ -333,6 +341,7 @@ def render_sweeps_chained(
         packet=mega_packet,
         groups=mega_groups,
         table_in_hbm=mega_table_hbm,
+        interpret=interpret,
     )
     delta = reconstruct_pallas(
         t[0].reshape(H, W, 3),
@@ -340,6 +349,7 @@ def render_sweeps_chained(
         sample_offsets[0],
         block_size=block_size,
         stddev=stddev,
+        interpret=interpret,
     )
     for si in range(1, S):
         delta = delta + reconstruct_pallas(
@@ -348,6 +358,7 @@ def render_sweeps_chained(
             sample_offsets[si],
             block_size=block_size,
             stddev=stddev,
+            interpret=interpret,
         )
     stats = dict(
         wave_overflow=ovf,
@@ -525,6 +536,11 @@ class Renderer:
                 self._mega_table_hbm,
             ),
             mega_table_hbm=self._mega_table_hbm,
+            # Pallas kernels need interpret mode off-TPU (bench.py's
+            # on_tpu test); the mega driver is then driveable anywhere
+            interpret=(
+                c.driver == "mega" and jax.devices()[0].platform == "cpu"
+            ),
         )
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):
@@ -572,6 +588,7 @@ class Renderer:
                     mega_packet=kwargs["mega_packet"],
                     mega_groups=kwargs["mega_groups"],
                     mega_table_hbm=self._mega_table_hbm,
+                    interpret=kwargs["interpret"],
                 )
                 self._last_stats = stats
                 self.film = self.film + delta

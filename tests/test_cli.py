@@ -61,6 +61,24 @@ def test_cli_flag_validation(tmp_path):
         main(["builtin:nope", "-w", "64", "-H", "64", "-s", "1"])
 
 
+def test_cli_platform_pin(tmp_path):
+    """--platform cpu pins the backend at BOTH the env and jax.config level
+    (a sitecustomize-registered TPU plugin overrides JAX_PLATFORMS alone,
+    and a broken TPU runtime then hangs the render at backend init)."""
+    from hijiki_tpu.cli import main
+
+    out = str(tmp_path / "cpu.exr")
+    rc = main(["builtin:cornell", "--use-bvh", "-w", "64", "-H", "64",
+               "-s", "1", "--block-size", "64", "--max-bounces", "4",
+               "--platform", "cpu", "-o", out])
+    assert rc == 0
+    assert os.path.exists(out)
+    import jax
+
+    assert jax.config.jax_platforms == "cpu"
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+
+
 def test_cli_packed_leaf_flag(tmp_path):
     from hijiki_tpu.cli import main
 
