@@ -337,7 +337,7 @@ def _analytic_pretest(analytic, num_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
 
 def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
                    ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                   pred=None, packed=None):
+                   pred=None, packed=None, spec_resolve=False):
     """Software-pipelined packet walk (``spec`` mode, VMEM tables).
 
     The plain walker's per-iteration critical chain is
@@ -509,7 +509,8 @@ def _traverse_spec(rows_ref, tbl_rows, total_rows, analytic, base,
     if not want_payload:
         return final
     return _resolve_winners(rows_ref, total_rows, analytic, final,
-                            hbm_bufs=None, packed=packed)
+                            hbm_bufs=None, packed=packed,
+                            pipelined=spec_resolve)
 
 
 def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
@@ -640,7 +641,8 @@ def _prim_test(rows8, ox, oy, oz, dx, dy, dz, tmin, best_t, analytic,
 
 def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                            ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                           groups, pred=None, group_octant=True, packed=None):
+                           groups, pred=None, group_octant=True, packed=None,
+                           spec_resolve=False):
     """Grouped software-pipelined walk: G independent cursor groups per tile.
 
     The packet-union tax scales with lanes-per-cursor (per-sublane unions,
@@ -853,7 +855,8 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
                 nit=final["nit"])
     return _resolve_winners(rows_ref, total_rows, analytic, walk,
-                            hbm_bufs=None, packed=packed)
+                            hbm_bufs=None, packed=packed,
+                            pipelined=spec_resolve)
 
 
 def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
@@ -1041,7 +1044,7 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
               prefetch=False, hbm_bufs=None, spec=False, pred=None,
-              groups=1, group_octant=True, packed=None):
+              groups=1, group_octant=True, packed=None, spec_resolve=False):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -1070,11 +1073,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
                 rows_ref, tbl_rows, total_rows, analytic, base,
                 ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
                 groups, pred=pred, group_octant=group_octant, packed=packed,
+                spec_resolve=spec_resolve,
             )
         return _traverse_spec(
             rows_ref, tbl_rows, total_rows, analytic, base,
             ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload, pred=pred,
-            packed=packed,
+            packed=packed, spec_resolve=spec_resolve,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
@@ -1296,7 +1300,8 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
     if not want_payload:
         return final
     return _resolve_winners(rows_ref, total_rows, analytic, final,
-                            hbm_bufs=hbm_bufs, packed=packed)
+                            hbm_bufs=hbm_bufs, packed=packed,
+                            pipelined=spec_resolve)
 
 
 def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
@@ -1383,7 +1388,7 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
 
 
 def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
-                     packed=None):
+                     packed=None, pipelined=False):
     """Fill kind/tag/midx/payload for each lane's winning row.
 
     Loops over the DISTINCT winning rows per packet (min-first), fetching each
@@ -1395,6 +1400,15 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     rows); payload is fetched from the slot-indexed section at
     rows[pay_base + slot] (cols: 0 kind, 1 tag, 2 midx, 3-17 payload) and
     analytic/miss winners encode from n_pay.
+
+    ``pipelined=True`` (VMEM tables only) software-pipelines the loop: the
+    plain body's critical chain is ``min(pending) -> row fetch -> selects ->
+    pending update``; but the NEXT target is computable WITHOUT this
+    iteration's fetch (it is the next-smallest distinct pending value), so
+    the target is carried one iteration ahead and both the cross-lane min
+    reduce and the row fetch come off the chain — the same trick as the
+    ``spec`` walker. Visit order (min-first) and all selects are identical,
+    so outputs are bitwise-equal to the sync loop.
     """
     wrow = walk["wrow"]
     if packed is not None:
@@ -1417,29 +1431,22 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     outs["pending"] = jnp.where(wrow < enc, wrow, jnp.int32(enc))
     outs["nit"] = walk["nit"]
 
-    def cond(c):
-        return jnp.any(c["pending"] < enc)
-
     slim = packed is not None and packed[2] == 1
     assert not (slim and hbm_bufs is not None), (
         "SLIM tables are VMEM-only (the resolve pay fetch is a direct "
         "slice); use packed_leaf=12 (or 4) for HBM-streamed scenes"
     )
 
-    def body(c):
-        tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
+    def fetch_addr(tgt):
         if slim:
-            fetch_at = tgt * SLIM_PAY_STRIDE + pay_base
-        elif packed is not None:
-            fetch_at = tgt + pay_base
-        else:
-            fetch_at = tgt
-        if hbm_bufs is not None:
-            rows8 = _fetch_rows8_hbm_sync(
-                rows_ref, num_rows, fetch_at, hbm_bufs[2], hbm_bufs[3]
-            )
-        else:
-            rows8 = _fetch_rows8(rows_ref, num_rows, fetch_at)
+            return tgt * SLIM_PAY_STRIDE + pay_base
+        if packed is not None:
+            return tgt + pay_base
+        return tgt
+
+    def apply_row(c, tgt, rows8, rows8b):
+        """Select row data into the lanes tgt won + mask tgt out of pending
+        (shared by the sync and pipelined bodies — identical selects)."""
         col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], wrow.shape)
         tgt_b = jnp.broadcast_to(tgt, wrow.shape)
         # the < enc guard keeps miss lanes (wrow == enc) from
@@ -1451,7 +1458,6 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
             out["tag"] = jnp.where(sel, col(1), c["tag"])
             out["midx"] = jnp.where(sel, col(2), c["midx"])
             if slim:
-                rows8b = _fetch_rows8(rows_ref, num_rows, fetch_at + 1)
                 colb = lambda j: jnp.broadcast_to(
                     rows8b[:, j : j + 1], wrow.shape
                 )
@@ -1481,8 +1487,60 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
         out["nit"] = c["nit"] + f32(1.0)
         return out
 
+    def next_target(pending, after):
+        """Smallest pending value strictly greater than ``after`` (8,1)."""
+        a_b = jnp.broadcast_to(after, pending.shape)
+        cand = jnp.where(pending > a_b, pending, jnp.int32(enc))
+        return jnp.min(cand, axis=1, keepdims=True)
+
     final = dict(outs)
-    resolved = jax.lax.while_loop(cond, body, final)
+    if pipelined and hbm_bufs is None:
+        # carried-target loop: tgt/rows8 for THIS iteration were produced
+        # last iteration; this body only does in-register selects, one
+        # off-chain fetch (for the carried next target) and one off-chain
+        # reduce (for the target after that)
+        def cond_p(c):
+            return jnp.any(c["tgt"] < enc)
+
+        def body_p(c):
+            out = apply_row(c, c["tgt"], c["rows8"], c.get("rows8b"))
+            na = fetch_addr(c["tgt2"])
+            out["rows8"] = _fetch_rows8(rows_ref, num_rows, na)
+            if slim:
+                out["rows8b"] = _fetch_rows8(rows_ref, num_rows, na + 1)
+            out["tgt"] = c["tgt2"]
+            out["tgt2"] = next_target(out["pending"], c["tgt2"])
+            return out
+
+        tgt0 = jnp.min(final["pending"], axis=1, keepdims=True)
+        final["tgt"] = tgt0
+        final["tgt2"] = next_target(final["pending"], tgt0)
+        a0 = fetch_addr(tgt0)
+        final["rows8"] = _fetch_rows8(rows_ref, num_rows, a0)
+        if slim:
+            final["rows8b"] = _fetch_rows8(rows_ref, num_rows, a0 + 1)
+        resolved = jax.lax.while_loop(cond_p, body_p, final)
+        for k in ("tgt", "tgt2", "rows8", "rows8b"):
+            resolved.pop(k, None)
+    else:
+        def cond(c):
+            return jnp.any(c["pending"] < enc)
+
+        def body(c):
+            tgt = jnp.min(c["pending"], axis=1, keepdims=True)  # (8,1)
+            fetch_at = fetch_addr(tgt)
+            if hbm_bufs is not None:
+                rows8 = _fetch_rows8_hbm_sync(
+                    rows_ref, num_rows, fetch_at, hbm_bufs[2], hbm_bufs[3]
+                )
+            else:
+                rows8 = _fetch_rows8(rows_ref, num_rows, fetch_at)
+            rows8b = None
+            if slim:
+                rows8b = _fetch_rows8(rows_ref, num_rows, fetch_at + 1)
+            return apply_row(c, tgt, rows8, rows8b)
+
+        resolved = jax.lax.while_loop(cond, body, final)
     resolved.pop("pending")
     # analytic winners: constants, no fetch needed (payload convention
     # matches the in-table rows: pay0..8 = a,b,c geometry, rest zero)
@@ -1601,6 +1659,7 @@ def _bounce_loop(rows_ref, cfg, init):
     packed = cfg.get("packed")
     prefetch = cfg.get("prefetch", False)
     spec = cfg.get("spec", False)
+    spec_resolve = cfg.get("spec_resolve", False)
     groups = cfg.get("groups", 1)
     group_octant = cfg.get("group_octant", True)
     hbm_bufs = cfg.get("hbm_bufs")
@@ -1663,6 +1722,7 @@ def _bounce_loop(rows_ref, cfg, init):
             prefetch=prefetch,
             hbm_bufs=hbm_bufs,
             spec=spec,
+            spec_resolve=spec_resolve,
             groups=groups,
             group_octant=group_octant,
             packed=packed,
@@ -2310,6 +2370,7 @@ def render_tiles(
     packet: int = PACKET,
     prefetch: bool = True,
     spec: bool = True,
+    spec_resolve: bool = False,
     shadow_cache: bool = False,
     shadow_vis: bool = True,
     table_in_hbm: bool = False,
@@ -2355,6 +2416,7 @@ def render_tiles(
         lane_sort=lane_sort,
         prefetch=prefetch,
         spec=spec,
+        spec_resolve=spec_resolve,
         shadow_cache=shadow_cache,
         hbm=table_in_hbm,
         groups=groups,
@@ -2604,6 +2666,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         "packet",
         "prefetch",
         "spec",
+        "spec_resolve",
         "shadow_cache",
         "shadow_skip_all",
         "table_in_hbm",
@@ -2628,6 +2691,7 @@ def render_waves(
     packet: int = PACKET,
     prefetch: bool = True,
     spec: bool = True,
+    spec_resolve: bool = False,
     shadow_cache: bool = False,
     shadow_vis: bool = True,
     shadow_skip_all: bool = False,
@@ -2697,6 +2761,7 @@ def render_waves(
         lane_sort=lane_sort,
         prefetch=prefetch,
         spec=spec,
+        spec_resolve=spec_resolve,
         shadow_cache=shadow_cache,
         shadow_skip_all=shadow_skip_all,
         hbm=table_in_hbm,
@@ -2773,6 +2838,7 @@ def render_waves(
         "packet",
         "prefetch",
         "spec",
+        "spec_resolve",
         "shadow_cache",
         "table_in_hbm",
         "groups",
@@ -2796,6 +2862,7 @@ def render_waves_chained(
     packet: int = PACKET,
     prefetch: bool = True,
     spec: bool = True,
+    spec_resolve: bool = False,
     shadow_cache: bool = False,
     shadow_vis: bool = True,
     table_in_hbm: bool = False,
@@ -2862,6 +2929,7 @@ def render_waves_chained(
         lane_sort=False,
         prefetch=prefetch,
         spec=spec,
+        spec_resolve=spec_resolve,
         shadow_cache=shadow_cache,
         hbm=table_in_hbm,
         groups=groups,

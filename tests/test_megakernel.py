@@ -114,6 +114,67 @@ def test_spec_walker_bitwise_identical(setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_spec_resolve_bitwise_identical(setup):
+    """The pipelined winner-resolve loop (spec_resolve) carries the next
+    target one iteration ahead; visit order (min-first) and all selects are
+    identical to the sync loop, so every output must be bitwise-equal —
+    across the spec, grouped, and plain walkers."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+
+    cs = setup[0]
+    W, H = 64, 32  # N=2048: enough rays for the packet=256 grouped variant
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray(
+        (np.arange(W * H) * 2654435761 % (1 << 32)).astype(np.uint32)
+    )
+    for kw in (
+        dict(packet=128, groups=1),              # spec walker
+        dict(packet=256, groups=2),              # grouped spec
+        dict(packet=128, groups=1, spec=False),  # plain walker
+    ):
+        a = render_tiles(cs, px, py, seeds, width=W, height=H,
+                         max_bounces=12, interpret=True,
+                         spec_resolve=False, **kw)
+        b = render_tiles(cs, px, py, seeds, width=W, height=H,
+                         max_bounces=12, interpret=True,
+                         spec_resolve=True, **kw)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_spec_resolve_bitwise_identical_packed():
+    """spec_resolve with packed payload sections: SLIM (dual payload-row
+    fetch carried) and PACKED4 — bitwise-equal to the sync resolve."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    W = H = 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    for leaf in (1, 4):  # SLIM 16-col, PACKED4 64-col
+        cs = scene_to_device(compile_scene(scene, packed_leaf=leaf))
+        assert cs.mega_packed_static == leaf
+        a = render_tiles(cs, px, py, seeds, width=W, height=H,
+                         max_bounces=10, interpret=True, spec_resolve=False)
+        b = render_tiles(cs, px, py, seeds, width=W, height=H,
+                         max_bounces=10, interpret=True, spec_resolve=True)
+        for xx, yy in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xx), np.asarray(yy))
+
+
 def test_grouped_walker_matches_single_group(setup):
     """The grouped spec walker (G independent cursor groups per tile,
     ops/pallas_megakernel._traverse_spec_grouped) must reproduce the
