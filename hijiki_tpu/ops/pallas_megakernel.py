@@ -861,7 +861,8 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
 
 def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                           ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
-                          groups, hbm_bufs, group_octant=True, packed=None):
+                          groups, hbm_bufs, group_octant=True, packed=None,
+                          spec_resolve=False):
     """Grouped DMA-pipelined walk of an HBM-resident table: G independent
     cursor groups, each with its own (8, HBM_ROW_WIDTH) scratch slot and
     in-flight row copy.
@@ -1038,7 +1039,8 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
                 nit=final["nit"])
     return _resolve_winners(rows_ref, total_rows, analytic, walk,
-                            hbm_bufs=hbm_bufs, packed=packed)
+                            hbm_bufs=hbm_bufs, packed=packed,
+                            pipelined=spec_resolve)
 
 
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
@@ -1087,6 +1089,7 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
                 rows_ref, tbl_rows, total_rows, analytic, base,
                 ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
                 groups, hbm_bufs, group_octant=group_octant, packed=packed,
+                spec_resolve=spec_resolve,
             )
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
@@ -1401,14 +1404,16 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     rows[pay_base + slot] (cols: 0 kind, 1 tag, 2 midx, 3-17 payload) and
     analytic/miss winners encode from n_pay.
 
-    ``pipelined=True`` (VMEM tables only) software-pipelines the loop: the
-    plain body's critical chain is ``min(pending) -> row fetch -> selects ->
-    pending update``; but the NEXT target is computable WITHOUT this
-    iteration's fetch (it is the next-smallest distinct pending value), so
-    the target is carried one iteration ahead and both the cross-lane min
-    reduce and the row fetch come off the chain — the same trick as the
-    ``spec`` walker. Visit order (min-first) and all selects are identical,
-    so outputs are bitwise-equal to the sync loop.
+    ``pipelined=True`` software-pipelines the loop: the plain body's
+    critical chain is ``min(pending) -> row fetch -> selects -> pending
+    update``; but the NEXT target is computable WITHOUT this iteration's
+    fetch (it is the next-smallest distinct pending value), so the target
+    is carried one iteration ahead and both the cross-lane min reduce and
+    the row fetch come off the chain — the same trick as the ``spec``
+    walker. On HBM tables the row DMA is likewise started one iteration
+    early (wait-at-top / start-at-bottom) instead of the sync start+wait.
+    Visit order (min-first) and all selects are identical, so outputs are
+    bitwise-equal to the sync loop.
     """
     wrow = walk["wrow"]
     if packed is not None:
@@ -1494,7 +1499,38 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
         return jnp.min(cand, axis=1, keepdims=True)
 
     final = dict(outs)
-    if pipelined and hbm_bufs is None:
+    if pipelined and hbm_bufs is not None:
+        # pipelined HBM resolve: the row copy for THIS iteration's carried
+        # target was started last iteration (wait-at-top / start-at-bottom,
+        # the plain HBM walker's proven pattern), so the ~µs DMA hides
+        # behind the previous iteration's selects + next-target reduce
+        scr, sem = hbm_bufs[2], hbm_bufs[3]
+
+        def cond_h(c):
+            return jnp.any(c["tgt"] < enc)
+
+        def body_h(c):
+            fetch_at = fetch_addr(c["tgt"])
+            _dma_rows8_wait(rows_ref, num_rows, fetch_at, scr, sem)
+            out = apply_row(c, c["tgt"], scr[...], None)
+            out["tgt"] = c["tgt2"]
+            out["tgt2"] = next_target(out["pending"], c["tgt2"])
+            _dma_rows8(rows_ref, num_rows, fetch_addr(out["tgt"]), scr, sem)
+            return out
+
+        tgt0 = jnp.min(final["pending"], axis=1, keepdims=True)
+        final["tgt"] = tgt0
+        final["tgt2"] = next_target(final["pending"], tgt0)
+        _dma_rows8(rows_ref, num_rows, fetch_addr(tgt0), scr, sem)
+        resolved = jax.lax.while_loop(cond_h, body_h, final)
+        # drain the final iteration's in-flight copy (clamped sentinel
+        # fetch) so the scoped semaphore ends the kernel at zero
+        _dma_rows8_wait(
+            rows_ref, num_rows, fetch_addr(resolved["tgt"]), scr, sem
+        )
+        for k in ("tgt", "tgt2"):
+            resolved.pop(k)
+    elif pipelined and hbm_bufs is None:
         # carried-target loop: tgt/rows8 for THIS iteration were produced
         # last iteration; this body only does in-register selects, one
         # off-chain fetch (for the carried next target) and one off-chain

@@ -135,6 +135,8 @@ def test_spec_resolve_bitwise_identical(setup):
         dict(packet=128, groups=1),              # spec walker
         dict(packet=256, groups=2),              # grouped spec
         dict(packet=128, groups=1, spec=False),  # plain walker
+        dict(packet=128, groups=1, spec=False, table_in_hbm=True),  # DMA
+        dict(packet=256, groups=2, spec=False, table_in_hbm=True),  # gDMA
     ):
         a = render_tiles(cs, px, py, seeds, width=W, height=H,
                          max_bounces=12, interpret=True,

@@ -3,7 +3,7 @@ min->fetch->select loop (ops/pallas_megakernel._resolve_winners). The visit
 order and selects are identical, so sums must match bitwise.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_resolve.py \
-          [W] [P] [G] [packed_leaf]
+          [--hbm] [--scene=/path.obj] [W] [P] [G] [packed_leaf]
 """
 
 import sys
@@ -29,14 +29,21 @@ REPS = 4
 
 
 def main():
-    W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    packet = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    groups = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    leaf = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hbm = "--hbm" in sys.argv
+    path = "/root/reference/scenes/cbox/cbox.obj"
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            path = a.split("=", 1)[1]
+    W = H = int(args[0]) if len(args) > 0 else 512
+    packet = int(args[1]) if len(args) > 1 else 1024
+    groups = int(args[2]) if len(args) > 2 else 4
+    leaf = int(args[3]) if len(args) > 3 else 0
     print(f"devices: {jax.devices()}, {W}x{H}, P={packet}, G={groups}, "
-          f"packed_leaf={leaf}", file=sys.stderr)
-    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
-    scene.put_cbox_spheres()
+          f"packed_leaf={leaf}, hbm={hbm}", file=sys.stderr)
+    scene = load_obj_scene(path)
+    if "cbox.obj" in path:
+        scene.put_cbox_spheres()
     cs = scene_to_device(compile_scene(scene, packed_leaf=leaf))
 
     y, x = np.mgrid[0:H, 0:W].astype(np.float32)
@@ -50,6 +57,7 @@ def main():
         t, n, dep, st, ovf, bounces, rows, alb = render_waves(
             cs, px, py, seeds, width=W, height=H, max_bounces=1000,
             packet=packet, groups=groups, spec_resolve=sr,
+            table_in_hbm=hbm,
         )
         return float(jnp.sum(t)), float(jnp.sum(rows)) / (8.0 * packet)
 

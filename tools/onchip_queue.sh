@@ -30,8 +30,11 @@ run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
 # 4. walk-isolated width probe (slice-count vs bytes cost model)
 run walk_probe python tools/walk_probe.py
 
-# 4b. pipelined winner-resolve loop (spec_resolve) at the current defaults
+# 4b. pipelined winner-resolve loop (spec_resolve) at the current defaults,
+#     then on the HBM-streamed big scene (sync DMA resolve -> pipelined)
 run ab_resolve python tools/ab_resolve.py 512 1024 4 0
+run ab_resolve_hbm python tools/ab_resolve.py \
+  --hbm --scene=/tmp/bigcbox.obj 512 1024 4 12
 
 # 5. the five BASELINE configs (headline refresh)
 run bench_configs python tools/bench_configs.py --quick
