@@ -36,6 +36,40 @@ def main():
     )
     args = ap.parse_args()
 
+    # Bounded TPU availability probe BEFORE touching jax in-process: a wedged
+    # axon tunnel hangs backend init for ~25 min per attempt (PERF_NOTES §9i,
+    # memory). Probe in a killable subprocess; on failure fall back to an
+    # honest (clearly labeled) CPU measurement instead of hanging the driver.
+    import os
+    import subprocess
+
+    tpu_ok = True
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        tpu_ok = False
+    else:
+        try:
+            pr = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import hijiki_tpu, jax; "
+                    "d = jax.devices(); "
+                    "assert d and d[0].platform != 'cpu', d; "
+                    "print('tpu-ok')",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            tpu_ok = "tpu-ok" in pr.stdout
+            if not tpu_ok:
+                log("TPU probe failed:", (pr.stderr or "")[-400:])
+        except subprocess.TimeoutExpired:
+            tpu_ok = False
+            log("TPU probe timed out (wedged tunnel?) — CPU fallback")
+    if not tpu_ok:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     from hijiki_tpu.utils.tpuenv import configure_tpu_env
 
     configure_tpu_env()
@@ -62,6 +96,10 @@ def main():
         H = 64 * n_dev
         timed_spp = 1
         block_size = 64
+    elif not on_tpu:
+        # honest CPU fallback (wedged/absent TPU): small frame, sync driver
+        W = H = 256
+        timed_spp = 2
     # warmup at the SAME spp as the timed run: the sweep-chaining chunk size
     # depends on spp, and a warmup at a different spp would leave the chained
     # executable to compile inside the timed region (~25 s via the tunnel)
@@ -134,11 +172,13 @@ def main():
     log(f"image mean {float(img.mean()):.4f} (finite={finite})")
 
     metric = (
-        "primary Mrays/s/chip, cbox 1024^2 (+spheres), full path trace "
+        f"primary Mrays/s/chip, cbox {W}x{H} (+spheres), full path trace "
         "(NEE, RR, 1000-bounce cap), bilateral reconstruction"
     )
     if n_dev > 1:
         metric += f" [{n_dev}-device mesh, psum film reduce]"
+    if not on_tpu:
+        metric += " [CPU FALLBACK — TPU unavailable, not a TPU number]"
     print(
         json.dumps(
             {
