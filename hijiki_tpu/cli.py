@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         "4-prim rows, 5+ = 128-col 12-prim rows (scene/compile.py "
         "packed_leaf)",
     )
+    p.add_argument(
+        "--metrics-json",
+        default=None,
+        help="Write render metrics (rays/s, path length, traversal counters, "
+        "config) as one JSON object to this path ('-' for stdout)",
+    )
     p.add_argument("--checkpoint", default=None, help="Checkpoint file to write/resume")
     p.add_argument(
         "--checkpoint-interval", type=int, default=0, help="Sweeps between checkpoints"
@@ -269,6 +275,35 @@ def main(argv=None) -> int:
                 f"Traversal: {metrics['rows_visited_last_sweep']:.0f} "
                 f"trace rows/sweep, {metrics['mrows_per_second']:.2f} Mrows/s"
             )
+    if args.metrics_json:
+        import json
+
+        def scalarize(v):
+            if isinstance(v, (list, tuple)):
+                return [float(x) for x in v]
+            return float(v)
+
+        payload = dict(
+            metrics={k: scalarize(v) for k, v in (metrics or {}).items()},
+            sweeps_done=renderer.sweeps_done,
+            interrupted=interrupted,
+            config=dict(
+                width=args.width,
+                height=args.height,
+                spp=args.sample_count,
+                seed=args.seed,
+                driver=args.driver,
+                block_size=args.block_size,
+                max_bounces=args.max_bounces,
+                use_bvh=args.use_bvh,
+            ),
+        )
+        if args.metrics_json == "-":
+            print(json.dumps(payload))
+        else:
+            with open(args.metrics_json, "w") as f:
+                json.dump(payload, f, indent=1)
+            print(f"Metrics: {args.metrics_json}")
     if renderer.sweeps_done > 0:
         renderer.save_exr(args.output_image)
         print(f"Wrote {args.output_image}")

@@ -90,3 +90,27 @@ def test_cli_packed_leaf_flag(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_cli_metrics_json(tmp_path):
+    import json
+
+    from hijiki_tpu.cli import main
+
+    out = str(tmp_path / "out.exr")
+    mj = str(tmp_path / "metrics.json")
+    rc = main([
+        "builtin:cornell", "--use-bvh", "-w", "64", "-H", "64", "-s", "2",
+        "--block-size", "64", "--max-bounces", "6",
+        "-o", out, "--metrics-json", mj,
+    ])
+    assert rc == 0
+    with open(mj) as f:
+        payload = json.load(f)
+    m = payload["metrics"]
+    assert m["primary_rays"] == 64 * 64 * 2
+    assert m["rays_per_second"] > 0
+    assert len(m["sweep_marks"]) == 2
+    assert payload["sweeps_done"] == 2
+    assert payload["interrupted"] is False
+    assert payload["config"]["driver"] == "sync" or payload["config"]["driver"]
