@@ -114,3 +114,21 @@ def test_cli_metrics_json(tmp_path):
     assert payload["sweeps_done"] == 2
     assert payload["interrupted"] is False
     assert payload["config"]["driver"] == "sync" or payload["config"]["driver"]
+
+
+def test_cli_devices_mesh(tmp_path):
+    """--devices shards the render over the virtual CPU mesh end-to-end and
+    matches the single-device image (same seeds -> same estimator)."""
+    import numpy as np
+
+    from hijiki_tpu.cli import main
+    from hijiki_tpu.utils.exr import read_exr
+
+    o1 = str(tmp_path / "one.exr")
+    o2 = str(tmp_path / "two.exr")
+    base = ["builtin:cornell", "--use-bvh", "-w", "64", "-H", "128", "-s", "2",
+            "--block-size", "64", "--max-bounces", "6", "--seed", "5"]
+    assert main(base + ["-o", o1]) == 0
+    assert main(base + ["-o", o2, "--devices", "2"]) == 0
+    a, b = read_exr(o1), read_exr(o2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
