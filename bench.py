@@ -47,6 +47,9 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         tpu_ok = False
     else:
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
         try:
             pr = subprocess.run(
                 [
@@ -60,10 +63,18 @@ def main():
                 capture_output=True,
                 text=True,
                 timeout=600,
+                cwd=here,
+                env=env,
             )
             tpu_ok = "tpu-ok" in pr.stdout
             if not tpu_ok:
-                log("TPU probe failed:", (pr.stderr or "")[-400:])
+                err = pr.stderr or ""
+                log("TPU probe failed:", err[-400:])
+                if "ModuleNotFoundError" in err or "ImportError" in err:
+                    # an env problem, not a TPU problem: don't silently
+                    # downgrade the benchmark — attempt the TPU path and let
+                    # the real import error surface
+                    tpu_ok = True
         except subprocess.TimeoutExpired:
             tpu_ok = False
             log("TPU probe timed out (wedged tunnel?) — CPU fallback")

@@ -343,11 +343,16 @@ class MegaMultiChipRenderer(Renderer):
         config: RenderConfig,
         num_devices: Optional[int] = None,
         devices=None,
-        interpret: bool = False,
+        interpret: Optional[bool] = None,
     ):
         super().__init__(compiled, config)
         if devices is None:
             devices = jax.devices()[: num_devices or len(jax.devices())]
+        if interpret is None:
+            # Mosaic kernels only compile for TPU; interpret everywhere else
+            # (the CPU mesh used for sharding tests and the CLI --devices
+            # smoke path). Callers can still force either mode.
+            interpret = devices[0].platform != "tpu"
         self.mesh = Mesh(np.array(devices), ("d",))
         self.n_dev = len(devices)
         c = config

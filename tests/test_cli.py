@@ -113,7 +113,7 @@ def test_cli_metrics_json(tmp_path):
     assert len(m["sweep_marks"]) == 2
     assert payload["sweeps_done"] == 2
     assert payload["interrupted"] is False
-    assert payload["config"]["driver"] == "sync" or payload["config"]["driver"]
+    assert payload["config"]["driver"] == "sync"
 
 
 def test_cli_devices_mesh(tmp_path):
@@ -132,3 +132,23 @@ def test_cli_devices_mesh(tmp_path):
     assert main(base + ["-o", o2, "--devices", "2"]) == 0
     a, b = read_exr(o1), read_exr(o2)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_devices_mega_interprets_on_cpu(tmp_path):
+    """--driver mega --devices N on a CPU backend must auto-interpret the
+    Pallas kernels (MegaMultiChipRenderer interpret=None default)."""
+    import numpy as np
+
+    from hijiki_tpu.cli import main
+    from hijiki_tpu.utils.exr import read_exr
+
+    out = str(tmp_path / "mega2.exr")
+    rc = main([
+        "builtin:cornell", "--use-bvh", "--driver", "mega", "--devices", "2",
+        "-w", "64", "-H", "128", "-s", "1", "--block-size", "64",
+        "--max-bounces", "4", "-o", out,
+    ])
+    assert rc == 0
+    img = read_exr(out)
+    assert img.shape == (128, 64, 3)
+    assert np.isfinite(img).all() and img.mean() > 0.01

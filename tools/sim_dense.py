@@ -251,12 +251,12 @@ def main():
                     o = o[m] + bt[m, None] * d[m]
                     if gen == "bounce":
                         nd = rng.normal(size=(m.sum(), 3))
-                        d = nd / np.linalg.norm(nd, -1, keepdims=True)
+                        d = nd / np.linalg.norm(nd, axis=-1, keepdims=True)
                         o = o + 1e-3 * d
                     else:
                         tgt = emit + rng.normal(scale=0.05, size=(m.sum(), 3))
                         d = tgt - o
-                        dist = np.linalg.norm(d, -1, keepdims=True)
+                        dist = np.linalg.norm(d, axis=-1, keepdims=True)
                         d = d / dist
                         o = o + 1e-3 * d
                         occl = dist[:, 0] - 2e-3

@@ -78,7 +78,7 @@ def main():
         # keep the tile full: respawn misses as reflected camera rays
         o = o + np.where(m, bt, 1.0)[:, None] * d
         nd = rng.normal(size=(T, 3))
-        d = nd / np.linalg.norm(nd, -1, keepdims=True)
+        d = nd / np.linalg.norm(nd, axis=-1, keepdims=True)
         o = o + 1e-3 * d
 
         # baseline: raster layout (lane i -> sublane i // P)
