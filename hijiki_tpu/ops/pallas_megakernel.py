@@ -1399,7 +1399,7 @@ def _resolve_winners(rows_ref, num_rows, analytic, walk, hbm_bufs=None,
     instead of paying 18 selects on every traversal step. Baked-analytic
     winners (wrow == num_rows + k) are filled from compile-time constants.
 
-    With ``packed=(pay_base, n_pay)``, wrow holds payload-ROW slots (not walk
+    With ``packed=(pay_base, n_pay, nper)``, wrow holds payload-ROW slots (not walk
     rows); payload is fetched from the slot-indexed section at
     rows[pay_base + slot] (cols: 0 kind, 1 tag, 2 midx, 3-17 payload) and
     analytic/miss winners encode from n_pay.
@@ -1718,6 +1718,10 @@ def _bounce_loop(rows_ref, cfg, init):
     # In-kernel state only — resets at phase boundaries (prediction loss
     # only, exactness unaffected).
     shadow_cache = cfg.get("shadow_cache", False) and not cfg.get("hbm")
+    if shadow_cache and cfg.get("shadow_skip_all"):
+        # skip-all stubs the shadow result dict without the 'orow' the cache
+        # update reads; the combination is meaningless (nothing to predict)
+        raise ValueError("shadow_skip_all cannot be combined with shadow_cache")
 
     init = dict(init)
     pshape = init["ox"].shape
@@ -2428,7 +2432,7 @@ def render_tiles(
         tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
-        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # packed leaf rows: (pay_base, n_pay, nper) of the slot-indexed payload
         # section appended after the walk tables (see scene.compile)
         packed=(
             (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,
@@ -2774,7 +2778,7 @@ def render_waves(
         tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
-        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # packed leaf rows: (pay_base, n_pay, nper) of the slot-indexed payload
         # section appended after the walk tables (see scene.compile)
         packed=(
             (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,
@@ -2942,7 +2946,7 @@ def render_waves_chained(
         tbl_rows=scene.mega_tbl_rows,
         total_rows=rows.shape[0],
         ntab=ntab,
-        # packed leaf rows: (pay_base, n_pay) of the slot-indexed payload
+        # packed leaf rows: (pay_base, n_pay, nper) of the slot-indexed payload
         # section appended after the walk tables (see scene.compile)
         packed=(
             (ntab * scene.mega_tbl_rows, scene.mega_pay_rows_static,

@@ -539,9 +539,16 @@ def build_packed_octant_tables(bvh, prim_args, nper=PACKED_N):
 
 def compile_scene(
     scene: Scene, leaf_size: int = 1, collapse: int = 1, octant_tables: str = "auto",
-    packed_leaf="auto",
+    packed_leaf="auto", shadow_vis_boxes: bool = True,
 ) -> CompiledScene:
     """Compile a Scene to device arrays + baked statics.
+
+    ``shadow_vis_boxes``: run the shadow-visibility proof sweep
+    (scene/lightvis.py, consumed only by the megakernel's NEE walk and a
+    wash on cbox). The sweep is O(cells * prims) float64 numpy on first
+    compile (seconds; disk-cached by scene-content hash afterwards) — pass
+    False for drivers that never read ``shadow_vis_static`` or to skip the
+    first-compile cost.
 
     ``packed_leaf``: 0 = classic unpacked trace rows; N > 0 = pack leaves
     of N triangles per trace row (build_packed_trace_rows; N <= 3 uses the
@@ -698,12 +705,14 @@ def compile_scene(
     # unoccluded toward the whole emitter set; NEE shadow rays from them
     # skip the any-hit walk (estimator-exact — see the module's soundness
     # argument)
-    from hijiki_tpu.scene.lightvis import build_shadow_vis_boxes
+    shadow_vis = ()
+    if shadow_vis_boxes:
+        from hijiki_tpu.scene.lightvis import build_shadow_vis_boxes
 
-    shadow_vis = build_shadow_vis_boxes(
-        aabb_min, aabb_max, kind, a, b, c, em_shape,
-        KIND_SPHERE, KIND_QUAD, KIND_TRIANGLE,
-    ) or ()
+        shadow_vis = build_shadow_vis_boxes(
+            aabb_min, aabb_max, kind, a, b, c, em_shape,
+            KIND_SPHERE, KIND_QUAD, KIND_TRIANGLE,
+        ) or ()
 
     bvh = build_bvh(aabb_min, aabb_max, leaf_size=leaf_size)
     if collapse:
@@ -775,13 +784,18 @@ def compile_scene(
         analytic_bake = tuple(analytic)
         if T:
             if packed_leaf == "auto":
-                # pack iff the unpacked table would stream from HBM
-                # (~2 rows/tri at leaf 1): HBM rows pad to 128 lanes, so the
-                # 128-wide 12-prim format moves 12 prims per row DMA where
-                # unpacked moves 1 at the same DMA size. VMEM-resident
-                # tables measured 0.91x packed (PERF_NOTES §9s) and stay
-                # unpacked.
-                est_unpacked = 2 * T * TRACE_ROW_WIDTH * 4
+                # pack iff the UNPACKED table would stream from HBM — the
+                # renderer's trigger is trace_rows_mega.nbytes >
+                # MEGA_VMEM_TABLE_BYTES (renderer.py aliases the same
+                # constant), and the post-collapse unpacked table measures
+                # ~1.5 rows/tri (bigcbox: 609k rows / 405k tris). HBM rows
+                # pad to 128 lanes, so the 128-wide 12-prim format moves 12
+                # prims per row DMA where unpacked moves 1 at the same DMA
+                # size. VMEM-resident tables measured 0.91x packed
+                # (PERF_NOTES §9s) and stay unpacked; a 2 rows/tri estimate
+                # here would wrongly pack ~98-125k-tri scenes whose unpacked
+                # tables still fit VMEM.
+                est_unpacked = 3 * T // 2 * TRACE_ROW_WIDTH * 4
                 use_packed = PACKED12_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
             else:
                 use_packed = int(packed_leaf)

@@ -195,7 +195,15 @@ def build_shadow_vis_boxes(
     if not np.isfinite(scale) or scale <= 0:
         return _cache_store(key, None)
     tol = _REL_TOL * scale
-    eps_out = _REL_EPS_OUT * scale
+    # the dilation must cover BOTH the f32 hit-point slop (scales with the
+    # scene extent) and the kernel's f32 rounding of the baked box bounds
+    # (scales with coordinate MAGNITUDE: a scene of extent 1 centered at
+    # x=50 rounds its bounds by up to ~50*2^-23, not ~1*2^-23) — otherwise
+    # an f32 hit just past a face bordering an unproven cell could pass the
+    # in-kernel membership compare and skip a walk that would have found an
+    # occluder
+    mag = float(np.max(np.abs(np.stack([scene_min, scene_max]))))
+    eps_out = _REL_EPS_OUT * max(scale, mag)
 
     # prim planes (f64). Degenerate normals -> never harmless.
     n = np.cross(b64, c64)  # (N,3); spheres give 0 (b x c with c = 0)

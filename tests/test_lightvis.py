@@ -162,3 +162,71 @@ def test_cache_roundtrip(tmp_path, monkeypatch):
     out2 = build_shadow_vis_boxes(*args, target=512)
     assert out1 == out2
     assert out1 and out1[0] >= 1
+
+
+def test_offset_scene_f32_rounded_bounds_sound():
+    """Scenes far from the origin: the proof dilation must cover the
+    kernel's f32 rounding of the baked box bounds (which scales with
+    coordinate MAGNITUDE, not scene extent). Origins placed at the
+    f32-ROUNDED box faces — exactly what the in-kernel membership compare
+    admits — must still be unoccluded toward every emitter sample."""
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    OFF = np.array([500.0, 0.0, 0.0], np.float32)
+    scene.positions = scene.positions + OFF
+    for shape, _ in scene.objects:
+        if hasattr(shape, "position"):
+            shape.position = tuple(np.asarray(shape.position) + OFF)
+        if hasattr(shape, "origin"):
+            shape.origin = tuple(np.asarray(shape.origin) + OFF)
+    cs = compile_scene(scene)
+    sv = cs.shadow_vis_static
+    assert sv, "offset cbox must still prove boxes"
+    K = int(sv[0])
+    B = np.asarray(sv[1:], np.float32).reshape(K, 6)  # the kernel's bounds
+
+    # brute-force occlusion oracle in f64 over all triangles
+    a = np.asarray(cs.prim_a, np.float64)
+    b = np.asarray(cs.prim_b, np.float64)
+    c = np.asarray(cs.prim_c, np.float64)
+    kind = np.asarray(cs.prim_kind)
+    tri = kind == 2
+    a, b, c = a[tri], b[tri], c[tri]
+    n = np.cross(b, c)
+
+    rng = np.random.default_rng(11)
+    origins = []
+    for k in range(K):
+        lo, hi = B[k, :3].astype(np.float64), B[k, 3:].astype(np.float64)
+        mid = rng.random((24, 3)) * (hi - lo) + lo
+        for ax in range(3):
+            fa, fb = mid.copy(), mid.copy()
+            fa[:, ax] = lo[ax]  # exactly the f32-rounded face
+            fb[:, ax] = hi[ax]
+            origins += [fa, fb]
+    o = np.concatenate(origins)
+    lights = _emitter_samples(cs, rng, len(o))
+    o = np.tile(o, (len(lights) // len(o), 1))
+    v = lights - o
+    dist = np.linalg.norm(v, axis=1)
+    d = v / dist[:, None]
+
+    eps = 1e-4
+    occ = np.zeros(len(o), bool)
+    for i in range(len(a)):
+        dn = d @ n[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rr = o - a[i]
+            q = np.cross(rr, d)
+            dd = 1.0 / dn
+            uu = -dd * (q @ c[i])
+            vv = dd * (q @ b[i])
+            tt = -dd * (rr @ n[i])
+        occ |= (
+            (uu >= 0) & (vv >= 0) & (uu + vv <= 1.0)
+            & (tt >= 2 * eps) & (tt <= dist - eps)
+        )
+    bad = np.flatnonzero(occ)
+    assert bad.size == 0, f"occluded origins at f32 box faces: {o[bad[:5]]}"

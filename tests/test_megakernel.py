@@ -727,7 +727,9 @@ def test_packed_auto_gate():
     sys.path.insert(0, "/root/repo/tools")
     from bigscene_probe import tri_soup_scene
 
-    big = compile_scene(tri_soup_scene(120_000))
+    # 250k tris: est 1.5 rows/tri x 128 B ~= 48 MB >> the 24 MB VMEM
+    # budget (120k sits in the fits-VMEM band and must stay unpacked)
+    big = compile_scene(tri_soup_scene(250_000))
     assert big.mega_packed_static == 12
     assert big.trace_rows_mega.shape[1] == 128
 
