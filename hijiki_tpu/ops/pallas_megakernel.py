@@ -1330,7 +1330,6 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
     for _ in range(rounds):
         tgt = jnp.min(pending, axis=1, keepdims=True)  # (8,1)
         rows8 = _fetch_rows8(rows_ref, total_rows, tgt)
-        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], shp)
         if packed is not None:
             # any-hit on the packed row: the tournament's min-t winner is
             # < tmax iff ANY of the PACKED_N hits is (all others are >= it)
@@ -1346,41 +1345,16 @@ def _anyhit_pretest(rows_ref, total_rows, analytic, pred,
             vrow = jnp.where(verified, tgt_b, vrow)
             pending = jnp.where(sel, jnp.int32(total_rows), pending)
             continue
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        v1x, v1y, v1z = col(3), col(4), col(5)
-        v2x, v2y, v2z = col(6), col(7), col(8)
-        nx, ny, nz = col(29), col(30), col(31)
-        rx = ox - v0x
-        ry = oy - v0y
-        rz = oz - v0z
-        qx = ry * dz - rz * dy
-        qy = rz * dx - rx * dz
-        qz = rx * dy - ry * dx
-        dd = f32(1.0) / (dx * nx + dy * ny + dz * nz)
-        u = -dd * (qx * v2x + qy * v2y + qz * v2z)
-        v = dd * (qx * v1x + qy * v1y + qz * v1z)
-        t_pq = -dd * (nx * rx + ny * ry + nz * rz)
-        in_tri = (u >= 0) & (v >= 0) & (u + v <= f32(1.0))
-        if analytic is not None:
-            phit = in_tri & (tmin <= t_pq) & (t_pq < tmax)
-        else:
-            kind = col(9)
-            is_tri = kind == f32(KIND_TRIANGLE)
-            in_quad = (u >= 0) & (u <= f32(1.0)) & (v >= 0) & (v <= f32(1.0))
-            ok_pq = (is_tri & in_tri) | (~is_tri & in_quad)
-            ok_pq &= (tmin <= t_pq) & (t_pq < tmax)
-            radius = v1x
-            sb = f32(2.0) * (dx * rx + dy * ry + dz * rz)
-            sc = rx * rx + ry * ry + rz * rz - radius * radius
-            disc = sb * sb - f32(4.0) * sc
-            sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-            st0 = f32(-0.5) * (sb + sq)
-            st1 = f32(-0.5) * (sb - sq)
-            ok0 = (tmin <= st0) & (st0 < tmax)
-            ok1 = (tmin <= st1) & (st1 < tmax)
-            ok_s = (disc >= f32(0.0)) & (ok0 | ok1)
-            is_sphere = kind == f32(KIND_SPHERE)
-            phit = (is_sphere & ok_s) | (~is_sphere & ok_pq)
+        # the WALKER's exact occlusion predicate: _prim_test with
+        # best_t = tmax plus the strict accept (pt < best_t). Any inline
+        # re-derivation here risks drifting from the walker's accepts,
+        # which would break the pretest's exactness contract. (Sphere
+        # root-tie equivalence: st1 >= st0 always, so inclusive-vs-strict
+        # root selection cannot disagree after the strict compare.)
+        phit_r, pt_r, _, _, _ = _prim_test(
+            rows8, ox, oy, oz, dx, dy, dz, tmin, tmax, analytic, packed=0
+        )
+        phit = phit_r & (pt_r < tmax)
         tgt_b = jnp.broadcast_to(tgt, shp)
         sel = (pending == tgt_b) & (tgt_b < total_rows)
         verified = sel & phit
@@ -2506,6 +2480,21 @@ _STATE_CH = [
     "samp",
 ]
 N_STATE = len(_STATE_CH)
+# result-channel order committed to the (12, N) result buffer (same order
+# as CHAIN_OUT_CH: Lr,Lg,Lb, n1,n2,n3, depth, segs, rows, ar,ag,ab) — the
+# ONE place the result layout is defined; commits and the phase-0 copy all
+# stack through _result_stack
+_RESULT_CH = tuple(
+    _STATE_CH.index(ch)
+    for ch in (
+        "Lr", "Lg", "Lb", "n1", "n2", "n3",
+        "depth", "segs", "rows", "ar", "ag", "ab",
+    )
+)
+
+
+def _result_stack(flat):
+    return jnp.stack([flat[i] for i in _RESULT_CH])
 
 
 def _write_state(st_ref, rng_ref, s):
@@ -2627,10 +2616,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         return n // tile
 
     def commit(res, res_state, flat, rngf, orig):
-        vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
-        )
-        res = res.at[:, orig].set(vals)
+        res = res.at[:, orig].set(_result_stack(flat))
         res_state = res_state.at[orig].set(rngf)
         return res, res_state
 
@@ -2838,19 +2824,9 @@ def render_waves(
     # result buffers indexed by original lane (layout: Lr,Lg,Lb,n1,n2,n3,depth)
     orig = jnp.arange(N, dtype=jnp.int32)
 
-    def commit(res, res_state, flat, rngf, orig):
-        vals = jnp.stack(
-            [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
-        )
-        res = res.at[:, orig].set(vals)
-        res_state = res_state.at[orig].set(rngf)
-        return res, res_state
 
     # phase 0 covers every lane in order: plain copy, no scatter
-    # (channels: Lr,Lg,Lb,n1,n2,n3,depth,bounces,rows-visited,albedo rgb)
-    res = jnp.stack(
-        [flat[15], flat[16], flat[17], flat[20], flat[21], flat[22], flat[19], flat[27], flat[23], flat[24], flat[25], flat[26]]
-    )
+    res = _result_stack(flat)
     res_state = rngf
 
     res, res_state, overflow = _run_compaction_phases(

@@ -371,7 +371,7 @@ def render_sweeps_chained(
     return delta, stats
 
 
-def resolve_chain_sweeps(config, table_hbm: bool) -> int:
+def resolve_chain_sweeps(config, table_hbm: bool, sweeps_done: int = 0) -> int:
     """0 = auto: CHAIN_SWEEPS_TPU sweeps per chained launch for the plain
     TPU mega driver, 1 (off) elsewhere. Chaining requires the mega driver
     with the reference reconstruction path (radius 2, parity albedo) and no
@@ -406,6 +406,16 @@ def resolve_chain_sweeps(config, table_hbm: bool) -> int:
         return 1
     from hijiki_tpu.ops.pallas_megakernel import CHAIN_SWEEPS_TPU
 
+    # prefer a chunk size that divides the remaining spp: a tail chunk with
+    # a different S re-traces and re-compiles the whole chained Mosaic
+    # kernel (minutes via the remote tunnel) just to trace a few sweeps.
+    # Any divisor of spp in [CHAIN/2, CHAIN] keeps one executable with at
+    # most ~2x the launch count; otherwise accept the tail recompile.
+    remaining = max(c.spp - sweeps_done, 1)
+    if remaining % CHAIN_SWEEPS_TPU:
+        for s in range(CHAIN_SWEEPS_TPU - 1, max(CHAIN_SWEEPS_TPU // 2 - 1, 1), -1):
+            if remaining % s == 0:
+                return s
     return CHAIN_SWEEPS_TPU
 
 
@@ -551,7 +561,7 @@ class Renderer:
         sweep_marks = []
         total_segments = 0.0
         resume_start = self.sweeps_done
-        chain = resolve_chain_sweeps(c, self._mega_table_hbm)
+        chain = resolve_chain_sweeps(c, self._mega_table_hbm, self.sweeps_done)
         sweep = self.sweeps_done
         while sweep < c.spp:
             n_chunk = min(chain, c.spp - sweep) if chain > 1 else 1
@@ -607,13 +617,22 @@ class Renderer:
                 )
                 self._last_stats = stats
                 self.film = self.film + delta
+            prev_done = sweep
             sweep += n_chunk
             self.sweeps_done = sweep
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
-            if c.preview_interval and self.sweeps_done % c.preview_interval == 0:
+            # interval-CROSSING checks, not modulo: chained chunks advance
+            # sweeps_done by n_chunk at a time, so "done % interval == 0"
+            # would skip most (or all) previews whenever the interval is not
+            # a multiple of the chunk size
+            if c.preview_interval and (
+                prev_done // c.preview_interval != sweep // c.preview_interval
+            ):
                 self.save_png(c.preview_path)
-            if c.live_preview and self.sweeps_done % c.live_preview == 0:
+            if c.live_preview and (
+                prev_done // c.live_preview != sweep // c.live_preview
+            ):
                 self._term_preview().update(
                     self.image(),
                     f"{self.sweeps_done}/{c.spp} sweeps",
@@ -632,8 +651,12 @@ class Renderer:
             rays_per_second=primary_rays / elapsed if elapsed > 0 else 0.0,
             spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
         )
-        # per-sweep wall-clock marks (dispatch-side; device work may lag)
+        # per-CHUNK wall-clock marks (dispatch-side; device work may lag).
+        # One mark per launch: with sweep chaining a chunk covers
+        # chain_chunk_sweeps sweeps, so len(sweep_marks) < sweeps traced;
+        # divide chunk deltas by chain_chunk_sweeps for per-sweep times.
         self.metrics["sweep_marks"] = sweep_marks
+        self.metrics["chain_chunk_sweeps"] = chain if chain > 1 else 1
         if getattr(self, "_last_stats", None) is not None:
             ovf = int(self._last_stats.get("wave_overflow", 0))
             self.metrics["wave_overflow"] = ovf

@@ -767,3 +767,40 @@ def test_slim_leaf_rows_ulp_identical():
                                      max_bounces=12, interpret=True, **kw)
         assert np.allclose(np.asarray(ts), np.asarray(tu), atol=1e-4, rtol=1e-3), kw
         assert np.allclose(np.asarray(ds), np.asarray(du), atol=1e-4), kw
+
+
+def test_shadow_cache_bitwise_identical(setup):
+    """The shadow-ray occlusion cache only ever VERIFIES predictions
+    (_anyhit_pretest runs the walker's exact occlusion predicate via
+    _prim_test), so shadow_cache on/off must be bitwise-identical — the §9k
+    exactness contract, and the regression net for the pretest's shared
+    prim-test path."""
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+
+    cs, W, H, px, py, seeds = setup
+    a = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=16,
+        interpret=True, shadow_cache=False,
+    )
+    b = render_tiles(
+        cs, px, py, seeds, width=W, height=H, max_bounces=16,
+        interpret=True, shadow_cache=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_shadow_cache_skip_all_rejected(setup):
+    """shadow_skip_all stubs the shadow result dict the cache update reads;
+    the combination must fail fast with a clear error, not a trace-time
+    KeyError."""
+    import pytest
+
+    from hijiki_tpu.ops.pallas_megakernel import render_waves
+
+    cs, W, H, px, py, seeds = setup
+    with pytest.raises(ValueError, match="shadow_skip_all"):
+        render_waves(
+            cs, px, py, seeds, width=W, height=H, max_bounces=4,
+            interpret=True, shadow_cache=True, shadow_skip_all=True,
+        )

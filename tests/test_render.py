@@ -280,3 +280,31 @@ def test_renderer_chained_sweeps_match_unchained(cbox_small):
     a, b = np.asarray(plain.film), np.asarray(chained.film)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     assert a.mean() > 0.01  # lit
+
+
+def test_preview_fires_across_chained_chunks(cbox_small, tmp_path):
+    """Chained chunks advance sweeps_done by n_chunk at a time; previews must
+    fire on interval CROSSINGS (chunk 2, interval 3: the old modulo check
+    never fires because sweeps_done is only ever 2 and 4)."""
+    import hijiki_tpu.ops.pallas_megakernel as mk
+    import hijiki_tpu.render.pallas_reconstruct as pr
+
+    png = str(tmp_path / "prev.png")
+    cfg = RenderConfig(width=64, height=64, spp=4, block_size=64, seed=2,
+                       driver="mega", max_bounces=4, chain_sweeps=2,
+                       preview_interval=3, preview_path=png)
+    orig_rwc, orig_rp = mk.render_waves_chained, pr.reconstruct_pallas
+    try:
+        mk.render_waves_chained = (
+            lambda *a, **k: orig_rwc(*a, **{**k, "interpret": True})
+        )
+        pr.reconstruct_pallas = (
+            lambda *a, **k: orig_rp(*a, **{**k, "interpret": True})
+        )
+        r = Renderer(cbox_small, cfg)
+        r.render()
+    finally:
+        mk.render_waves_chained, pr.reconstruct_pallas = orig_rwc, orig_rp
+    import os
+
+    assert os.path.exists(png), "preview must fire when a chunk crosses the interval"
