@@ -371,6 +371,20 @@ def render_sweeps_chained(
     return delta, stats
 
 
+def chain_chunk_size(remaining: int, chain: int) -> int:
+    """Prefer a chunk size that divides ``remaining``: a tail chunk with a
+    different S re-traces and re-compiles the whole chained Mosaic kernel
+    (minutes via the remote tunnel) just to trace a few sweeps. Any divisor
+    of remaining in [chain/2, chain] keeps one executable with at most ~2x
+    the launch count; otherwise accept the tail recompile."""
+    remaining = max(remaining, 1)
+    if remaining % chain:
+        for s in range(chain - 1, max(chain // 2 - 1, 1), -1):
+            if remaining % s == 0:
+                return s
+    return chain
+
+
 def resolve_chain_sweeps(config, table_hbm: bool, sweeps_done: int = 0) -> int:
     """0 = auto: CHAIN_SWEEPS_TPU sweeps per chained launch for the plain
     TPU mega driver, 1 (off) elsewhere. Chaining requires the mega driver
@@ -406,17 +420,7 @@ def resolve_chain_sweeps(config, table_hbm: bool, sweeps_done: int = 0) -> int:
         return 1
     from hijiki_tpu.ops.pallas_megakernel import CHAIN_SWEEPS_TPU
 
-    # prefer a chunk size that divides the remaining spp: a tail chunk with
-    # a different S re-traces and re-compiles the whole chained Mosaic
-    # kernel (minutes via the remote tunnel) just to trace a few sweeps.
-    # Any divisor of spp in [CHAIN/2, CHAIN] keeps one executable with at
-    # most ~2x the launch count; otherwise accept the tail recompile.
-    remaining = max(c.spp - sweeps_done, 1)
-    if remaining % CHAIN_SWEEPS_TPU:
-        for s in range(CHAIN_SWEEPS_TPU - 1, max(CHAIN_SWEEPS_TPU // 2 - 1, 1), -1):
-            if remaining % s == 0:
-                return s
-    return CHAIN_SWEEPS_TPU
+    return chain_chunk_size(c.spp - sweeps_done, CHAIN_SWEEPS_TPU)
 
 
 def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
