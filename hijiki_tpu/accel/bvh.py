@@ -106,8 +106,15 @@ def build_bvh(
         left_ids = right_ids = None
         if extent[axis] > 0:
             # Binned SAH along the widest centroid axis.
-            scale = N_BINS * (1.0 - 1e-6) / extent[axis]
-            bins = ((cent[:, axis] - cmin[axis]) * scale).astype(np.int64)
+            # float64 scale: a float32 subnormal extent (> 0 but < ~4.7e-38)
+            # overflows a float32 divide to inf -> NaN bins -> IndexError;
+            # the clip keeps any residual rounding inside the bin range
+            scale = N_BINS * (1.0 - 1e-6) / float(extent[axis])
+            bins = np.clip(
+                ((cent[:, axis] - cmin[axis]) * scale).astype(np.int64),
+                0,
+                N_BINS - 1,
+            )
             bin_min = np.full((N_BINS, 3), np.inf, dtype=np.float64)
             bin_max = np.full((N_BINS, 3), -np.inf, dtype=np.float64)
             bin_cnt = np.zeros(N_BINS, dtype=np.int64)

@@ -156,7 +156,13 @@ def _load_obj_scene_python(path: str) -> Scene:
 
     def resolve_index(token: str, arr_len: int) -> int:
         i = int(token)
-        return i - 1 if i > 0 else arr_len + i
+        r = i - 1 if i > 0 else arr_len + i
+        if r < 0 or r >= arr_len:
+            # Python list indexing would silently wrap a doubly-negative
+            # index (arr_len + i in [-arr_len, -1]) to a WRONG vertex —
+            # malformed OBJs must fail loudly, not corrupt geometry
+            raise ValueError(f"OBJ index {token} out of range (have {arr_len})")
+        return r
 
     def vertex_for(token: str) -> int:
         vs = token.split("/")

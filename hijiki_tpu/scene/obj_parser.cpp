@@ -148,6 +148,10 @@ void* hijiki_obj_parse(const char* path_c) {
   std::unordered_map<Key, int32_t, KeyHash> triple_cache;
   int32_t current_material = -1;
   int64_t smoothing_group = 0;
+  bool bad_index = false;  // out-of-range f indices: fail the whole parse
+                           // (obj.py raises; the wrapper then falls back to
+                           // it so both backends error loudly, never
+                           // silently alias a wrong vertex)
   std::vector<int32_t> gen_normal;            // out-vertex ids needing normals
   std::vector<int32_t> gen_faces;             // 3 ids per fan triangle
 
@@ -197,12 +201,17 @@ void* hijiki_obj_parse(const char* path_c) {
         if (s1) *s1 = '\0';
         if (s2) *s2 = '\0';
         vi = resolve_index(tok, (int64_t)raw_pos.size());
-        if (s1 && s1[1] != '\0')
+        if (s1 && s1[1] != '\0') {
           ti = resolve_index(s1 + 1, (int64_t)raw_uv.size());
-        if (s2 && s2[1] != '\0')
+          if (ti < 0 || ti >= (int64_t)raw_uv.size()) bad_index = true;
+        }
+        if (s2 && s2[1] != '\0') {
           ni = resolve_index(s2 + 1, (int64_t)raw_nrm.size());
+          if (ni < 0 || ni >= (int64_t)raw_nrm.size()) bad_index = true;
+        }
         if (ni < 0) has_gen = true;
-        if (vi < 0 || vi >= (int64_t)raw_pos.size()) { idxs.clear(); break; }
+        if (vi < 0 || vi >= (int64_t)raw_pos.size()) bad_index = true;
+        if (bad_index) { idxs.clear(); break; }
 
         Key k{vi, ti, ni, ni < 0 ? smoothing_group : -1};
         int32_t idx;
@@ -240,6 +249,10 @@ void* hijiki_obj_parse(const char* path_c) {
     }
   }
   fclose(f);
+  if (bad_index) {
+    delete out;
+    return nullptr;
+  }
 
   if (!gen_normal.empty()) {
     // area-weighted accumulation (see obj.py): unnormalized face cross sums

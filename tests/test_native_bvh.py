@@ -105,3 +105,23 @@ def test_native_build_speed(native_available):
     _check_invariants(bvh, n, 4)
     # native build should handle 200k prims in well under 10s
     assert dt < 10.0, f"native build too slow: {dt:.1f}s"
+
+
+def test_numpy_builder_subnormal_extent():
+    """A positive-but-float32-subnormal centroid extent must not overflow
+    the SAH bin scale (float32 divide -> inf -> NaN bins -> IndexError);
+    the scale is float64 and bins are clipped."""
+    import numpy as np
+
+    from hijiki_tpu.accel.bvh import build_bvh
+
+    eps = 2e-38  # below the float32 normal minimum (~1.18e-38)
+    centers = np.array([[0, 0, 0], [eps, 0, 0], [2 * eps, 0, 0]], np.float64)
+    h = 1e-40
+    bvh = build_bvh(
+        (centers - h).astype(np.float32),
+        (centers + h).astype(np.float32),
+        backend="numpy",
+    )
+    assert bvh.count.sum() >= 0  # built without crashing
+    assert len(bvh.prim_order) == 3

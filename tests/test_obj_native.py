@@ -144,3 +144,25 @@ f 1//1 2//1 3//1 4//1 5//1
     a, b = _both(p)
     assert b.bulk_tris.shape[0] == 3  # 5-gon -> 3 fan triangles
     _assert_scene_equal(a, b)
+
+
+def test_out_of_range_index_fails_loudly(tmp_path):
+    """A doubly-negative (or past-the-end) face index must be a hard error
+    in BOTH backends — Python list wrap-around would silently alias the
+    wrong vertex (obj.py raises; the native parser fails the parse, so its
+    wrapper returns None and load falls back to the raising path)."""
+    import pytest
+
+    from hijiki_tpu.scene.obj import load_obj_scene
+    from hijiki_tpu.scene.obj_native import parse_obj_native
+
+    (tmp_path / "m.mtl").write_text("newmtl white\nKd 0.8 0.8 0.8\n")
+    for bad_face in ("f -5 -3 -2", "f 1 2 9"):
+        p = tmp_path / "bad.obj"
+        p.write_text(
+            "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 1 0 1\nv 0 1 1\n"
+            f"usemtl white\n{bad_face}\n"
+        )
+        assert parse_obj_native(str(p)) is None
+        with pytest.raises((ValueError, IndexError)):
+            load_obj_scene(str(p), backend="python")
