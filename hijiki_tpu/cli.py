@@ -213,7 +213,18 @@ def main(argv=None) -> int:
         from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer
 
         cls = MegaMultiChipRenderer if args.driver == "mega" else MultiChipRenderer
-        renderer = cls(compiled, config, num_devices=args.devices)
+        import os
+
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            # resume works across device counts: the checkpoint is the
+            # device-agnostic (rgb*w, w) film + sweep cursor, and the
+            # scheduler replay keeps the remaining sweeps' seeds identical
+            renderer = cls.resume_checkpoint(
+                compiled, args.checkpoint, config, num_devices=args.devices
+            )
+            print(f"Resumed from {args.checkpoint} at sweep {renderer.sweeps_done}")
+        else:
+            renderer = cls(compiled, config, num_devices=args.devices)
     elif args.checkpoint:
         import os
 

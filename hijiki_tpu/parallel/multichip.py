@@ -201,6 +201,7 @@ class MultiChipRenderer(Renderer):
 
         c = self.config
         start = time.monotonic()
+        resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
             seeds = sched.block_seeds.reshape(-1)
@@ -222,7 +223,9 @@ class MultiChipRenderer(Renderer):
                 self.save_png(c.preview_path)
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
-        primary = c.width * c.height * c.spp
+        # only the sweeps traced in THIS call (same rule as Renderer.render:
+        # counting the full spp inflates rays/s after a checkpoint resume)
+        primary = c.width * c.height * (self.sweeps_done - resume_start)
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary,
@@ -389,6 +392,7 @@ class MegaMultiChipRenderer(Renderer):
         H, W = c.height, c.width
         yy, xx = np.mgrid[0:H, 0:W]
         start = time.monotonic()
+        resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
             sched = self.scheduler.sweep(sweep)
             seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
@@ -406,7 +410,9 @@ class MegaMultiChipRenderer(Renderer):
                 progress(self.sweeps_done, c.spp)
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
-        primary = c.width * c.height * c.spp
+        # only the sweeps traced in THIS call (same rule as Renderer.render:
+        # counting the full spp inflates rays/s after a checkpoint resume)
+        primary = c.width * c.height * (self.sweeps_done - resume_start)
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary,

@@ -81,6 +81,7 @@ class MultiHostRenderer(Renderer):
         c = self.config
         kwargs = self._sweep_kwargs()
         start = time.monotonic()
+        resume_start = self._done
         for sweep in self.sweep_ids[self._done :]:
             sched = self._schedules[sweep]
             pixel_seeds = per_pixel_seeds(
@@ -100,7 +101,8 @@ class MultiHostRenderer(Renderer):
                 progress(self._done, len(self.sweep_ids))
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
-        primary = c.width * c.height * len(self.sweep_ids)
+        # only the sweeps traced in THIS call (renderer.py's resume rule)
+        primary = c.width * c.height * (self._done - resume_start)
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary,

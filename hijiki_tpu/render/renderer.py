@@ -721,6 +721,7 @@ class Renderer:
         compiled: CompiledScene,
         path: str,
         config: "RenderConfig | None" = None,
+        **ctor_kwargs,
     ) -> "Renderer":
         """Resume a checkpointed render.
 
@@ -741,7 +742,7 @@ class Renderer:
                         f"checkpoint resume: {f}={a!r} conflicts with the "
                         f"checkpointed render's {f}={b!r}"
                     )
-        r = cls(compiled, config or ckpt_config)
+        r = cls(compiled, config or ckpt_config, **ctor_kwargs)
         r.film = jnp.asarray(data["film"])
         r.sweeps_done = int(data["sweeps_done"])
         # replay the scheduler to the checkpointed sweep so the remaining

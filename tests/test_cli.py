@@ -152,3 +152,39 @@ def test_cli_devices_mega_interprets_on_cpu(tmp_path):
     img = read_exr(out)
     assert img.shape == (128, 64, 3)
     assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_cli_checkpoint_resume_across_device_counts(tmp_path):
+    """A single-device checkpoint resumes under --devices 2 (the film is a
+    device-agnostic (rgb*w, w) accumulator and the scheduler replay keeps
+    remaining-sweep seeds identical), matching the uninterrupted render."""
+    import numpy as np
+
+    from hijiki_tpu.cli import main
+    from hijiki_tpu.utils.exr import read_exr
+
+    ckpt = str(tmp_path / "r.ckpt.npz")
+    o1 = str(tmp_path / "full.exr")
+    o2 = str(tmp_path / "a.exr")
+    o3 = str(tmp_path / "b.exr")
+    base = ["builtin:cornell", "--use-bvh", "-w", "64", "-H", "128",
+            "--block-size", "64", "--max-bounces", "6", "--seed", "9"]
+    assert main(base + ["-s", "4", "-o", o1]) == 0
+    assert main(base + ["-s", "2", "-o", o2, "--checkpoint", ckpt]) == 0
+    assert main(base + ["-s", "4", "-o", o3, "--checkpoint", ckpt,
+                        "--devices", "2"]) == 0
+    a, c = read_exr(o1), read_exr(o3)
+    np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+
+
+def test_negative_seed_accepted(tmp_path):
+    """numpy 2.x np.uint64 rejects out-of-range ints; --seed -1 must wrap,
+    not crash."""
+    from hijiki_tpu.render.blocks import BlockScheduler
+
+    s1 = BlockScheduler(64, 64, 64, seed=-1)
+    s2 = BlockScheduler(64, 64, 64, seed=2**64 - 1)
+    a, b = s1.sweep(0), s2.sweep(0)
+    import numpy as np
+
+    assert np.array_equal(a.block_seeds, b.block_seeds)
