@@ -276,25 +276,29 @@ def _flatten_pad(o, d, tmin, tmax):
     tmax = tmax.reshape(n)
     pad = (-n) % TILE
     if pad:
-        # dummy rays: tmax = -1 accepts nothing and exits the walk immediately
+        # dummy rays: tmax = -BIG accepts nothing AND fails every slab vote
+        # (t0 < best_t is unsatisfiable at scene scale) — a -1 sentinel still
+        # let rays whose origin sits >1 unit inside a node AABB vote descend,
+        # inflating live packets' unions and blocking the any-hit early exit
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         tmin = jnp.concatenate([tmin, jnp.zeros(pad, tmin.dtype)])
-        tmax = jnp.concatenate([tmax, jnp.full(pad, -1.0, tmax.dtype)])
+        tmax = jnp.concatenate([tmax, jnp.full(pad, -3.0e38, tmax.dtype)])
     return shape, n, o, d, tmin, tmax
 
 
 def intersect_packets(o, d, tmin, tmax, active=None, *, scene):
     """Closest-hit via the packet kernel; returns ops.intersect.Hit.
 
-    Inactive lanes get tmax = -1: they accept nothing and cannot vote a
-    packet into descending, so all-dead packets exit in depth-many steps and
-    stale rays never inflate a live packet's row union.
+    Inactive lanes get tmax = -3e38 (f32-finite "-inf"): they accept nothing
+    and cannot vote a packet into descending (the slab test's t0 < best_t is
+    unsatisfiable), so all-dead packets exit in depth-many steps and stale
+    rays never inflate a live packet's row union.
     """
     from hijiki_tpu.ops.intersect import Hit
 
     if active is not None:
-        tmax = jnp.where(active, tmax, -1.0)
+        tmax = jnp.where(active, tmax, -3.0e38)
     shape, n, o, d, tmin, tmax = _flatten_pad(o, d, tmin, tmax)
     best_t, slot, u, v, tag, midx = traverse_packets(scene.trace_rows, o, d, tmin, tmax)
     best_t, slot, u, v, tag, midx = (
@@ -317,7 +321,7 @@ def intersect_packets(o, d, tmin, tmax, active=None, *, scene):
 def occluded_packets(o, d, tmin, tmax, active=None, *, scene):  # noqa: D401
     """Any-hit via the packet kernel (early packet exit when fully hit)."""
     if active is not None:
-        tmax = jnp.where(active, tmax, -1.0)  # inactive lanes never hit
+        tmax = jnp.where(active, tmax, -3.0e38)  # never hit, never vote
     shape, n, o, d, tmin, tmax = _flatten_pad(o, d, tmin, tmax)
     out = traverse_packets(scene.trace_rows, o, d, tmin, tmax, any_hit=True)
     slot = out[1]
