@@ -177,7 +177,11 @@ def sample_bsdf(scene: CompiledScene, tag, idx, wi, its: Its, state, extinction,
     inside0 = cos_i0 > f32(0.0)
     flip = cos_i0 < f32(0.0)
     eta = jnp.where(flip, eta_inv0, eta0)
-    eta_inv = jnp.where(flip, eta0, eta_inv0)
+    # reference inside-hit etaInv is the DOUBLE reciprocal fl(1/fl(1/eta)),
+    # which differs from eta in f32 for ~9% of eta values (material.glsl:
+    # 56-58: eta = etaInv; etaInv = 1./eta) — substituting eta0 directly
+    # diverges k/f_r/refraction on inside faces for non-involutive eta
+    eta_inv = jnp.where(flip, f32(1.0) / eta_inv0, eta_inv0)
     normal = jnp.where(flip[..., None], -n, n)
     cos_i = jnp.where(flip, -cos_i0, cos_i0)
     k = f32(1.0) - eta_inv * eta_inv * (f32(1.0) - cos_i * cos_i)

@@ -2074,7 +2074,9 @@ def _bounce_loop(rows_ref, cfg, init):
         cos_i0 = -din
         flip = cos_i0 < f32(0.0)
         eta = jnp.where(flip, eta_inv0, eta0)
-        eta_inv = jnp.where(flip, eta0, eta_inv0)
+        # inside-hit etaInv = fl(1/fl(1/eta)) per the reference (material.
+        # glsl:56-58), NOT eta0 — they differ in f32 for non-involutive eta
+        eta_inv = jnp.where(flip, f32(1.0) / eta_inv0, eta_inv0)
         nnx = jnp.where(flip, -nx, nx)
         nny = jnp.where(flip, -ny, ny)
         nnz = jnp.where(flip, -nz, nz)

@@ -537,6 +537,53 @@ def build_packed_octant_tables(bvh, prim_args, nper=PACKED_N):
     return np.concatenate(tables, axis=0), pay
 
 
+
+def emitter_pick_thresholds(pdf: np.ndarray) -> np.ndarray:
+    """Reference-exact emitter-pick thresholds (shader/scene.glsl:57-64).
+
+    The reference scans ``r = u; r -= pdf_i; pick first i with r < 0``
+    (fallback emitter 0 when the chain never goes negative). The chain
+    ``r_i(u) = fl(...fl(u - pdf_0)... - pdf_i)`` is monotone in u, so
+    "picked at or before i" is exactly ``u < C_i`` where C_i is the
+    smallest f32 with ``r_i(C_i) >= 0``. A plain f32 cumsum is NOT that
+    threshold — the partial sums round differently from the subtraction
+    chain (e.g. three equal pdfs 0.33333334 cumsum to exactly 1.0 while
+    the chain at u = 1.0 ends at -6e-8) — so cdf-compare pickers diverge
+    from the reference for ~2^-32 of draws. Binary-search the exact
+    thresholds instead; every ``u < cdf_e`` consumer (ops/emitter.py,
+    ops/oracle.py, the megakernel's baked bins) is then bit-equivalent
+    to the reference scan, fallback included.
+    """
+    E = len(pdf)
+    out = np.zeros(E, np.float32)
+    pdf = np.asarray(pdf, np.float32)
+
+    def chain_ge0(u, i):
+        r = np.float32(u)
+        for j in range(i + 1):
+            r = np.float32(r - pdf[j])
+        return r >= 0
+
+    for i in range(E):
+        lo, hi = np.float32(0.0), np.float32(2.0)
+        if not chain_ge0(hi, i):
+            out[i] = hi  # chain negative even at u=2: everything picks <= i
+            continue
+        if chain_ge0(lo, i):
+            out[i] = lo  # picked-at-or-before-i is empty
+            continue
+        while True:
+            mid = np.float32((float(lo) + float(hi)) / 2.0)
+            if mid == lo or mid == hi:
+                break
+            if chain_ge0(mid, i):
+                hi = mid
+            else:
+                lo = mid
+        out[i] = hi
+    return out
+
+
 def compile_scene(
     scene: Scene, leaf_size: int = 1, collapse: int = 1, octant_tables: str = "auto",
     packed_leaf="auto", shadow_vis_boxes: bool = True,
@@ -628,7 +675,7 @@ def compile_scene(
     em_shape = np.nonzero((shape_mats >> MATERIAL_TAG_SHIFT) == TAG_EMISSIVE)[0]
     E = len(em_shape)
     em_pdf = np.full(E, 1.0 / E if E else 0.0, dtype=np.float32)
-    em_cdf = np.cumsum(em_pdf).astype(np.float32)
+    em_cdf = emitter_pick_thresholds(em_pdf)
 
     # --- shape SoA ---
     sphere_pr = np.array(

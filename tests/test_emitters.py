@@ -101,3 +101,44 @@ def test_many_emitters_gather_fallback():
     assert np.isfinite(imp).all()
     assert (imp >= 0).all() and imp.max() > 0
     assert not np.array_equal(np.asarray(new_state), np.asarray(state))
+
+
+def test_pick_thresholds_match_reference_scan():
+    """emitter_pick_thresholds must reproduce the reference's running-
+    subtraction scan (scene.glsl:57-64) for every u, including the
+    cumsum-divergent edge (three equal f32 pdfs: chain at u=1.0 ends
+    negative -> emitter 2, while a cumsum cdf of exactly 1.0 would fall
+    back to emitter 0)."""
+    import numpy as np
+
+    from hijiki_tpu.scene.compile import emitter_pick_thresholds
+
+    def reference_pick(u, pdf):
+        r = np.float32(u)
+        for i, p in enumerate(pdf):
+            r = np.float32(r - np.float32(p))
+            if r < 0:
+                return i
+        return 0
+
+    def threshold_pick(u, C):
+        for i, c in enumerate(C):
+            if u < c:
+                return i
+        return 0
+
+    rng = np.random.default_rng(0)
+    for pdf in (
+        np.full(3, np.float32(1.0 / 3.0)),
+        np.full(7, np.float32(1.0 / 7.0)),
+        np.float32(rng.dirichlet(np.ones(5))),
+        np.array([1.0], np.float32),
+    ):
+        C = emitter_pick_thresholds(pdf)
+        us = list(np.float32(rng.random(400)))
+        us += [np.float32(1.0), np.float32(0.0)]
+        for c in C:  # probe both sides of every threshold
+            us += [c, np.nextafter(c, np.float32(0.0), dtype=np.float32),
+                   np.nextafter(c, np.float32(2.0), dtype=np.float32)]
+        for u in us:
+            assert threshold_pick(u, C) == reference_pick(u, pdf), (u, pdf, C)
