@@ -13,8 +13,8 @@ the leaf-1 tree (tree shape changes visit order); at EQUAL tree
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_packedleaf.py \
            [sizes...] [--scene=path.obj] [--hbm]
        sizes: 0 = unpacked leaf-1 baseline; N>0 = packed with leaf_size N
-       (N<=3: 32-wide PACKED3 rows; N==4: 64-wide rows; N>=5: 128-wide
-       12-prim rows). --scene picks the OBJ (default cbox+spheres);
+       (N==1: 16-wide SLIM rows; N in 2-3: 32-wide PACKED3 rows; N==4:
+       64-wide rows; N>=5: 128-wide 12-prim rows). --scene picks the OBJ (default cbox+spheres);
        --hbm forces HBM table streaming (the PACKED12 target mode —
        pass with a big scene, e.g. /tmp/bigcbox.obj from make_bigscene.py).
 """
