@@ -111,7 +111,7 @@ def build_bvh(
             # the clip keeps any residual rounding inside the bin range
             scale = N_BINS * (1.0 - 1e-6) / float(extent[axis])
             bins = np.clip(
-                ((cent[:, axis] - cmin[axis]) * scale).astype(np.int64),
+                ((cent[:, axis].astype(np.float64) - cmin[axis]) * scale).astype(np.int64),
                 0,
                 N_BINS - 1,
             )

@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -148,7 +149,6 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.platform:
-        import os
 
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
@@ -213,7 +213,6 @@ def main(argv=None) -> int:
         from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer, MultiChipRenderer
 
         cls = MegaMultiChipRenderer if args.driver == "mega" else MultiChipRenderer
-        import os
 
         if args.checkpoint and os.path.exists(args.checkpoint):
             # resume works across device counts: the checkpoint is the
@@ -226,7 +225,6 @@ def main(argv=None) -> int:
         else:
             renderer = cls(compiled, config, num_devices=args.devices)
     elif args.checkpoint:
-        import os
 
         if os.path.exists(args.checkpoint):
             renderer = Renderer.resume_checkpoint(compiled, args.checkpoint, config)

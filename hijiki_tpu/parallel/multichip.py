@@ -225,12 +225,13 @@ class MultiChipRenderer(Renderer):
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call (same rule as Renderer.render:
         # counting the full spp inflates rays/s after a checkpoint resume)
-        primary = c.width * c.height * (self.sweeps_done - resume_start)
+        sweeps_traced = self.sweeps_done - resume_start
+        primary = c.width * c.height * sweeps_traced
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary,
             rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
-            spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
             devices=self.n_dev,
         )
         return self.metrics
@@ -412,12 +413,13 @@ class MegaMultiChipRenderer(Renderer):
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call (same rule as Renderer.render:
         # counting the full spp inflates rays/s after a checkpoint resume)
-        primary = c.width * c.height * (self.sweeps_done - resume_start)
+        sweeps_traced = self.sweeps_done - resume_start
+        primary = c.width * c.height * sweeps_traced
         self.metrics = dict(
             render_seconds=elapsed,
             primary_rays=primary,
             rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
-            spp_per_second=c.spp / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
             devices=self.n_dev,
             wave_overflow=int(ovf),
         )

@@ -48,7 +48,7 @@ class BlockScheduler:
         # numpy 2.x: np.uint64(x) REJECTS out-of-range python ints
         # (OverflowError) instead of wrapping — wrap explicitly so
         # --seed -1 and huge seeds behave like uint64 arithmetic
-        self._rng = np.random.default_rng(np.uint64(seed & (2**64 - 1)))
+        self._rng = np.random.default_rng(np.uint64(int(seed) & (2**64 - 1)))
 
     def sweep(self, sweep_index: int) -> SweepSchedule:
         offset = self._rng.random(2, dtype=np.float32)

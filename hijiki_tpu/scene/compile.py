@@ -555,32 +555,35 @@ def emitter_pick_thresholds(pdf: np.ndarray) -> np.ndarray:
     to the reference scan, fallback included.
     """
     E = len(pdf)
-    out = np.zeros(E, np.float32)
     pdf = np.asarray(pdf, np.float32)
 
-    def chain_ge0(u, i):
-        r = np.float32(u)
-        for j in range(i + 1):
-            r = np.float32(r - pdf[j])
+    def chains_ge0(u: np.ndarray) -> np.ndarray:
+        # r_i(u[i]) >= 0 for every i at once: element i accumulates the f32
+        # subtraction chain pdf[0..i] (elementwise f32 subtract == the scalar
+        # np.float32 chain bit-for-bit). One O(E^2) vectorized pass replaces
+        # the per-(i, probe) scalar re-walk, which was O(E^2 * ~60 probes)
+        # in interpreted Python — minutes at a few thousand emitters.
+        r = u.astype(np.float32).copy()
+        for j in range(E):
+            r[j:] -= pdf[j]
         return r >= 0
 
-    for i in range(E):
-        lo, hi = np.float32(0.0), np.float32(2.0)
-        if not chain_ge0(hi, i):
-            out[i] = hi  # chain negative even at u=2: everything picks <= i
-            continue
-        if chain_ge0(lo, i):
-            out[i] = lo  # picked-at-or-before-i is empty
-            continue
-        while True:
-            mid = np.float32((float(lo) + float(hi)) / 2.0)
-            if mid == lo or mid == hi:
-                break
-            if chain_ge0(mid, i):
-                hi = mid
-            else:
-                lo = mid
-        out[i] = hi
+    lo = np.zeros(E, np.float32)
+    hi = np.full(E, 2.0, np.float32)
+    ge_lo = chains_ge0(lo)  # True: picked-at-or-before-i is empty -> lo
+    out = np.where(ge_lo, lo, hi)
+    active = ~ge_lo & chains_ge0(hi)
+    # (chain negative even at u=2 -> out stays hi: everything picks <= i)
+    while active.any():
+        mid = ((lo.astype(np.float64) + hi.astype(np.float64)) / 2.0).astype(
+            np.float32
+        )
+        done = active & ((mid == lo) | (mid == hi))
+        out[done] = hi[done]
+        active &= ~done
+        ge = chains_ge0(mid)
+        hi = np.where(active & ge, mid, hi)
+        lo = np.where(active & ~ge, mid, lo)
     return out
 
 

@@ -102,7 +102,14 @@ def load_obj_scene(path: str, backend: str = "auto") -> Scene:
         if scene is not None:
             return scene
         if backend == "native":
-            raise RuntimeError("native OBJ parser unavailable (no g++?)")
+            from hijiki_tpu.scene.obj_native import load_library
+
+            if load_library() is None:
+                raise RuntimeError("native OBJ parser unavailable (no g++?)")
+            raise ValueError(
+                f"native OBJ parse failed for {path!r}: unreadable file, "
+                "malformed geometry, or out-of-range face index"
+            )
     return _load_obj_scene_python(path)
 
 

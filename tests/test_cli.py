@@ -188,3 +188,7 @@ def test_negative_seed_accepted(tmp_path):
     import numpy as np
 
     assert np.array_equal(a.block_seeds, b.block_seeds)
+    # numpy integer seeds (e.g. drawn from an RNG / array element): numpy 2.x
+    # raises OverflowError on np.int64(x) & (2**64 - 1) unless cast via int()
+    s3 = BlockScheduler(64, 64, 64, seed=np.int64(-1))
+    assert np.array_equal(s3.sweep(0).block_seeds, a.block_seeds)

@@ -166,3 +166,10 @@ def test_out_of_range_index_fails_loudly(tmp_path):
         assert parse_obj_native(str(p)) is None
         with pytest.raises((ValueError, IndexError)):
             load_obj_scene(str(p), backend="python")
+        # backend="native" with a WORKING parser must report a parse
+        # failure, not "parser unavailable"
+        from hijiki_tpu.scene.obj_native import load_library
+
+        if load_library() is not None:
+            with pytest.raises(ValueError, match="parse failed"):
+                load_obj_scene(str(p), backend="native")

@@ -125,21 +125,21 @@ def main():
             v, pr, chain, _ = walk_prefix(p, o, d, tmin, base, best0)
             visits_tot += v
             prefix_tot += pr
-            chains.setdefault(base, set()).add(chain)
+            chains.setdefault(base, []).append(chain)
             n += 1
         # static cut per octant table = longest chain common to all its walks
         static = 0
         nstatic = 0
-        for base, cset in chains.items():
+        for base, clist in chains.items():
             common = 0
-            for i in range(min(len(c) for c in cset)):
-                heads = {c[i] for c in cset}
+            for i in range(min(len(c) for c in clist)):
+                heads = {c[i] for c in clist}
                 if len(heads) == 1:
                     common += 1
                 else:
                     break
-            static += common * sum(1 for _ in cset)
-            nstatic += len(cset)
+            static += common * len(clist)  # per-walk weighting
+            nstatic += len(clist)
         print(
             f"{gen:7s} walks={n:3d} visits/walk={visits_tot / n:7.1f} "
             f"oracle-prefix/walk={prefix_tot / n:5.2f} "

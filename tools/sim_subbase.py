@@ -23,7 +23,7 @@ from hijiki_tpu.scene.compile import compile_scene
 from hijiki_tpu.scene.obj import load_obj_scene
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from sim_dense import M_EPS, tri_t  # noqa: E402
+from sim_dense import M_EPS  # noqa: E402
 from sim_twolevel import camera_rays  # noqa: E402
 
 
@@ -50,7 +50,7 @@ def walk(t, o, d, base):
     while cur < end:
         visits += 1
         if t.is_prim[cur]:
-            # single-prim rows: reuse sim_dense.tri_t via a tiny adapter
+            # single-prim rows: inline Moller test (sim_dense.tri_t semantics)
             n = t.n[cur]
             rr = o - t.v0[cur]
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -97,12 +97,6 @@ def main():
         px = (idx % W) + 0.5
         py = (idx // W) + 0.5
         o, d = camera_rays(cs8, px, py, W, H)
-        # first hit via table 0, then random bounce dirs
-        bt = np.full(T, np.inf)
-        for k in range(8):
-            sl = slice(k * P, (k + 1) * P)
-            # reuse walk() for best_t by re-running with per-lane capture:
-            pass
         # get first-hit t with a per-tile walk (direction-uniform: base 0)
         from sim_dense import Tbl as DTbl, walker_union
 
