@@ -27,8 +27,9 @@ run ab_hbm_formats python tools/ab_packedleaf.py \
 # 3. grouped DMA-pipelined HBM walker at the winning format
 run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
 
-# 4. walk-isolated width probe (slice-count vs bytes cost model)
-run walk_probe python tools/walk_probe.py
+# 4. walk-isolated fetch-width probe at 2048^2 (slice-count vs bytes cost
+#    model: w16/slim/pack3/pack4 vs w32 at identical ALU)
+run walk_probe python tools/walk_probe.py widths
 
 # 4b. pipelined winner-resolve loop (spec_resolve) at the current defaults,
 #     then on the HBM-streamed big scene (sync DMA resolve -> pipelined)
