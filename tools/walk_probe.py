@@ -197,6 +197,14 @@ def main_widths():
     groups = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     print(f"devices: {jax.devices()}, {W}x{H}, P={P}, G={groups}",
           file=sys.stderr)
+    # Pure-walk isolation: skip _resolve_winners in EVERY variant — resolve
+    # is ~3% of iterations (PERF_NOTES §9g2) and identical across widths,
+    # and the synthetic w16 table has no payload cols for it to read (its
+    # unpacked resolve slices col 28 of a 16-wide table: a trace error).
+    # The walk's closest-hit carries (t/u/v/wrow/nit) are returned as-is.
+    mk._resolve_winners = (
+        lambda rows_ref, total_rows, analytic, final, **kw: final
+    )
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()
     cs_u = scene_to_device(compile_scene(scene, packed_leaf=0))
