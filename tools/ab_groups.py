@@ -7,7 +7,7 @@ G smaller unions. Estimator-preserving: per-lane accepts are unchanged, so
 sums differ at most in t-tie winners (usually bitwise-equal).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_groups.py \
-           [W] [P] [G1,G2,...]
+           [W] [P] [G1,G2,...] [--packed=N]
 Variants: plain ints use per-group octant voting; suffix "n" (e.g. "4n")
 keeps the full-tile octant vote (isolates the voting change).
 """
@@ -35,18 +35,24 @@ REPS = 4
 
 
 def main():
-    W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    packet = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    variants = (
-        sys.argv[3].split(",") if len(sys.argv) > 3 else ["1", "2", "4", "8"]
-    )
+    packed = 0
+    pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--packed="):
+            packed = int(a.split("=", 1)[1])  # G-retune at a packed format
+        else:
+            pos.append(a)
+    W = H = int(pos[0]) if len(pos) > 0 else 512
+    packet = int(pos[1]) if len(pos) > 1 else 1024
+    variants = pos[2].split(",") if len(pos) > 2 else ["1", "2", "4", "8"]
     print(
-        f"devices: {jax.devices()}, {W}x{H}, P={packet}, groups={variants}",
+        f"devices: {jax.devices()}, {W}x{H}, P={packet}, groups={variants}, "
+        f"packed_leaf={packed}",
         file=sys.stderr,
     )
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()
-    cs = scene_to_device(compile_scene(scene))
+    cs = scene_to_device(compile_scene(scene, packed_leaf=packed))
 
     y, x = np.mgrid[0:H, 0:W].astype(np.float32)
     px = jnp.asarray((x + 0.5).reshape(-1))
