@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
         "respawn); 1 = off, 0 = auto",
     )
     p.add_argument(
+        "--spec-resolve",
+        type=int,
+        default=0,
+        help="Pipelined winner-resolve loop (bitwise-equal outputs); "
+        "0 = auto, 1 = on, -1 = off",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -203,6 +210,7 @@ def main(argv=None) -> int:
         mega_packet=args.mega_packet,
         mega_groups=args.mega_groups,
         chain_sweeps=args.chain_sweeps,
+        spec_resolve=args.spec_resolve,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":

@@ -82,6 +82,11 @@ class RenderConfig:
     # 1 = off, 0 = auto (on for the TPU mega driver). Estimator-exact:
     # every (pixel, sweep) sample consumes its unchained RNG stream.
     chain_sweeps: int = 0
+    # pipelined winner-resolve loop (ops/pallas_megakernel, PERF_NOTES
+    # roadmap item 5): 0 = auto (off — unmeasured on hardware; flip per
+    # tools/ab_resolve.py), 1 = on, -1 = off. Outputs are bitwise-equal
+    # either way (tests/test_megakernel.py).
+    spec_resolve: int = 0
 
 
 @partial(
@@ -103,6 +108,7 @@ class RenderConfig:
         "mega_packet",
         "mega_groups",
         "mega_table_hbm",
+        "mega_spec_resolve",
         "seeds_from_blocks",
         "interpret",
     ),
@@ -128,6 +134,7 @@ def render_sweep(
     mega_packet: int = 128,
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
+    mega_spec_resolve: bool = False,
     seeds_from_blocks: bool = False,
     # run the Pallas kernels (megakernel + reconstruction) in interpret
     # mode — required on non-TPU backends (the renderer auto-sets this)
@@ -172,6 +179,7 @@ def render_sweep(
             packet=mega_packet,
             groups=mega_groups,
             table_in_hbm=mega_table_hbm,
+            spec_resolve=mega_spec_resolve,
             interpret=interpret,
         )
         total = t_.reshape(H, W, 3)
@@ -282,6 +290,7 @@ from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_B
         "chain_cap",
         "mega_packet",
         "mega_groups",
+        "mega_spec_resolve",
         "interpret",
         "mega_table_hbm",
     ),
@@ -300,6 +309,7 @@ def render_sweeps_chained(
     mega_packet: int = 128,
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
+    mega_spec_resolve: bool = False,
     interpret: bool = False,
 ):
     """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
@@ -341,6 +351,7 @@ def render_sweeps_chained(
         packet=mega_packet,
         groups=mega_groups,
         table_in_hbm=mega_table_hbm,
+        spec_resolve=mega_spec_resolve,
         interpret=interpret,
     )
     delta = reconstruct_pallas(
@@ -477,6 +488,21 @@ def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     return MEGA_PACKET_TPU
 
 
+def resolve_spec_resolve(requested: int) -> bool:
+    """Pipelined winner-resolve default: 0 = auto (off until an on-chip
+    A/B lands — tools/ab_resolve.py; the resolve loop is ~3% of iterations
+    in VMEM mode, §9g2, but the HBM variant overlaps the row DMA), 1 = on,
+    -1 = off. HIJIKI_SPEC_RESOLVE overrides the auto choice."""
+    import os
+
+    if requested:
+        return requested > 0
+    env = os.environ.get("HIJIKI_SPEC_RESOLVE")
+    if env:
+        return int(env) > 0
+    return False
+
+
 def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
     """0 = auto: MEGA_GROUPS_TPU independent cursor groups on TPU when the
     packet is wide enough and the table is VMEM-resident (the grouped spec
@@ -550,6 +576,7 @@ class Renderer:
                 self._mega_table_hbm,
             ),
             mega_table_hbm=self._mega_table_hbm,
+            mega_spec_resolve=resolve_spec_resolve(c.spec_resolve),
             # Pallas kernels need interpret mode off-TPU (bench.py's
             # on_tpu test); the mega driver is then driveable anywhere
             interpret=(
@@ -602,6 +629,7 @@ class Renderer:
                     mega_packet=kwargs["mega_packet"],
                     mega_groups=kwargs["mega_groups"],
                     mega_table_hbm=self._mega_table_hbm,
+                    mega_spec_resolve=kwargs["mega_spec_resolve"],
                     interpret=kwargs["interpret"],
                 )
                 self._last_stats = stats

@@ -308,3 +308,20 @@ def test_preview_fires_across_chained_chunks(cbox_small, tmp_path):
     import os
 
     assert os.path.exists(png), "preview must fire when a chunk crosses the interval"
+
+
+def test_spec_resolve_renderer_bitwise(cbox_small):
+    """--spec-resolve plumbing: the pipelined winner-resolve must produce a
+    bitwise-identical film through the full Renderer (mega driver, chained
+    and unchained paths), so flipping the auto default is estimator-free."""
+    films = {}
+    for sr in (-1, 1):
+        for chain in (1, 2):
+            r = Renderer(
+                cbox_small,
+                _cfg(driver="mega", spec_resolve=sr, chain_sweeps=chain),
+            )
+            r.render()
+            films[(sr, chain)] = np.asarray(r.film)
+    for chain in (1, 2):
+        np.testing.assert_array_equal(films[(-1, chain)], films[(1, chain)])

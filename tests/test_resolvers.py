@@ -54,3 +54,15 @@ def test_mega_packet_sort_lanes_pin():
         resolve_mega_packet(1024, sort_lanes=True)
     assert resolve_mega_packet(0, sort_lanes=True) == 128
     assert resolve_mega_packet(256) == 256
+
+
+def test_resolve_spec_resolve(monkeypatch):
+    from hijiki_tpu.render.renderer import resolve_spec_resolve
+
+    monkeypatch.delenv("HIJIKI_SPEC_RESOLVE", raising=False)
+    assert resolve_spec_resolve(0) is False  # auto: off until measured
+    assert resolve_spec_resolve(1) is True
+    assert resolve_spec_resolve(-1) is False
+    monkeypatch.setenv("HIJIKI_SPEC_RESOLVE", "1")
+    assert resolve_spec_resolve(0) is True
+    assert resolve_spec_resolve(-1) is False  # explicit beats env
