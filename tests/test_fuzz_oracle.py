@@ -172,3 +172,25 @@ def test_random_scene_megakernel_matches_integrator():
         np.asarray(total), np.asarray(out.total), rtol=2e-3, atol=2e-3
     )
     np.testing.assert_allclose(np.asarray(depth), np.asarray(out.depth), rtol=1e-4)
+
+
+def test_random_scene_wavefront_matches_sync():
+    """Third production driver on a random scene: the regenerating wavefront
+    pool must reproduce the sync driver's film (identical paths and RNG
+    streams; only summation order / FMA fusion may differ)."""
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+
+    scene = random_scene(55)
+    cs = compile_scene(scene)
+    films = {}
+    for driver, extra in (("sync", {}), ("wavefront", dict(wavefront_lanes=512))):
+        r = Renderer(
+            cs,
+            RenderConfig(width=32, height=32, spp=2, block_size=64, seed=5,
+                         max_bounces=16, driver=driver, **extra),
+        )
+        r.render()
+        films[driver] = np.asarray(r.film)
+    np.testing.assert_allclose(
+        films["wavefront"], films["sync"], rtol=1e-4, atol=2e-4
+    )
