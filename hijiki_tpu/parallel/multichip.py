@@ -196,6 +196,20 @@ class MultiChipRenderer(Renderer):
             leaf_size=c.leaf_size,
         )
 
+    def _sweep_delta(self, sched):
+        """One sweep's film delta, blocks sharded over the mesh."""
+        seeds = sched.block_seeds.reshape(-1)
+        pad = self.block_origins.shape[0] - seeds.shape[0]
+        if pad:
+            seeds = np.concatenate([seeds, np.zeros(pad, np.uint32)])
+        return self._sweep_fn(
+            self.scene,
+            jnp.asarray(self.block_origins),
+            jnp.asarray(self.block_dims),
+            jnp.asarray(seeds),
+            jnp.asarray(sched.sample_offset),
+        )
+
     def render(self, progress=None):
         import time
 
@@ -203,18 +217,7 @@ class MultiChipRenderer(Renderer):
         start = time.monotonic()
         resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
-            sched = self.scheduler.sweep(sweep)
-            seeds = sched.block_seeds.reshape(-1)
-            pad = self.block_origins.shape[0] - seeds.shape[0]
-            if pad:
-                seeds = np.concatenate([seeds, np.zeros(pad, np.uint32)])
-            delta = self._sweep_fn(
-                self.scene,
-                jnp.asarray(self.block_origins),
-                jnp.asarray(self.block_dims),
-                jnp.asarray(seeds),
-                jnp.asarray(sched.sample_offset),
-            )
+            delta = self._sweep_delta(self.scheduler.sweep(sweep))
             self.film = self.film + delta
             self.sweeps_done = sweep + 1
             if progress is not None:
@@ -384,27 +387,35 @@ class MegaMultiChipRenderer(Renderer):
             table_in_hbm=compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
         )
 
-    def render(self, progress=None):
-        import time
-
+    def _sweep_delta(self, sched):
+        """One sweep's film delta (row-band mega sharding); stashes the
+        sweep's overflow counter on self._last_ovf (read lazily at the end
+        of render() — a per-sweep int() would force a device sync)."""
         from hijiki_tpu.render.blocks import per_pixel_seeds
 
         c = self.config
         H, W = c.height, c.width
         yy, xx = np.mgrid[0:H, 0:W]
+        seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
+        off = sched.sample_offset
+        delta, ovf = self._sweep_fn(
+            self.scene,
+            jnp.asarray((xx + off[0]).ravel().astype(np.float32)),
+            jnp.asarray((yy + off[1]).ravel().astype(np.float32)),
+            jnp.asarray(seeds.reshape(-1)),
+            jnp.asarray(off),
+        )
+        self._last_ovf = ovf
+        return delta
+
+    def render(self, progress=None):
+        import time
+
+        c = self.config
         start = time.monotonic()
         resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
-            sched = self.scheduler.sweep(sweep)
-            seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
-            off = sched.sample_offset
-            delta, ovf = self._sweep_fn(
-                self.scene,
-                jnp.asarray((xx + off[0]).ravel().astype(np.float32)),
-                jnp.asarray((yy + off[1]).ravel().astype(np.float32)),
-                jnp.asarray(seeds.reshape(-1)),
-                jnp.asarray(off),
-            )
+            delta = self._sweep_delta(self.scheduler.sweep(sweep))
             self.film = self.film + delta
             self.sweeps_done = sweep + 1
             if progress is not None:
@@ -421,6 +432,6 @@ class MegaMultiChipRenderer(Renderer):
             rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
             spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
             devices=self.n_dev,
-            wave_overflow=int(ovf),
+            wave_overflow=int(self._last_ovf),
         )
         return self.metrics

@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hijiki_tpu.parallel.multichip import (
+    MegaMultiChipRenderer,
+    MultiChipRenderer,
+)
 from hijiki_tpu.render.blocks import per_pixel_seeds
 from hijiki_tpu.render.reconstruct import normalize_film
 from hijiki_tpu.render.renderer import RenderConfig, Renderer, render_sweep
@@ -143,3 +147,92 @@ class MultiHostRenderer(Renderer):
     def merged_image(self) -> np.ndarray:
         """Normalized (H,W,3) RGB of the merged estimate."""
         return np.asarray(normalize_film(self.merged_film()))
+
+
+class _HostStrideMixin:
+    """Host-striding over a chip-sharding base renderer: the full pod
+    topology of SURVEY §2.5 — within a process, every sweep's work shards
+    over the LOCAL chips (shard_map + psum over ICI, parallel/multichip.py);
+    across processes, whole sweeps stride round-robin and partial films
+    merge associatively over DCN at readback (no per-sweep communication).
+
+    The base class must provide ``_sweep_delta(sched)``. Checkpoint/resume
+    is not specialized here — use MultiHostRenderer for resumable
+    multi-host runs, or checkpoint the merged film externally.
+    """
+
+    def _init_stride(self, config, host_id, num_hosts):
+        self.num_hosts = jax.process_count() if num_hosts is None else num_hosts
+        self.host_id = jax.process_index() if host_id is None else host_id
+        self.sweep_ids = host_sweeps(config.spp, self.host_id, self.num_hosts)
+        self._done = 0
+        self.sweeps_done = 0
+        # every host draws the FULL stateful schedule and keeps its stride
+        # (see MultiHostRenderer.__init__)
+        self._schedules = [self.scheduler.sweep(s) for s in range(config.spp)]
+
+    def render(self, progress: Optional[Callable[[int, int], None]] = None):
+        import time
+
+        c = self.config
+        start = time.monotonic()
+        resume_start = self._done
+        for sweep in self.sweep_ids[self._done :]:
+            delta = self._sweep_delta(self._schedules[sweep])
+            self.film = self.film + delta
+            self._done += 1
+            self.sweeps_done = self._done
+            if progress is not None:
+                progress(self._done, len(self.sweep_ids))
+        self.film.block_until_ready()
+        elapsed = time.monotonic() - start
+        traced = self._done - resume_start
+        primary = c.width * c.height * traced
+        self.metrics = dict(
+            render_seconds=elapsed,
+            primary_rays=primary,
+            rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
+            spp_per_second=traced / elapsed if elapsed > 0 else 0.0,
+            devices=self.n_dev,
+            host_id=self.host_id,
+            num_hosts=self.num_hosts,
+            sweeps=len(self.sweep_ids),
+        )
+        return self.metrics
+
+    merged_film = MultiHostRenderer.merged_film
+    merged_image = MultiHostRenderer.merged_image
+
+
+def _local_devices(num_devices):
+    devices = jax.local_devices()
+    return devices[:num_devices] if num_devices else devices
+
+
+class MultiHostMultiChipRenderer(_HostStrideMixin, MultiChipRenderer):
+    """Blocks shard over this process's local chips; sweeps stride across
+    processes. host_id/num_hosts default to the jax.distributed topology."""
+
+    def __init__(self, compiled, config, host_id=None, num_hosts=None,
+                 num_devices=None, devices=None):
+        super().__init__(
+            compiled, config,
+            devices=list(_local_devices(num_devices)) if devices is None
+            else devices,
+        )
+        self._init_stride(config, host_id, num_hosts)
+
+
+class MultiHostMegaRenderer(_HostStrideMixin, MegaMultiChipRenderer):
+    """Megakernel row-band sharding over local chips; sweeps stride across
+    processes."""
+
+    def __init__(self, compiled, config, host_id=None, num_hosts=None,
+                 num_devices=None, devices=None, interpret=None):
+        super().__init__(
+            compiled, config,
+            devices=list(_local_devices(num_devices)) if devices is None
+            else devices,
+            interpret=interpret,
+        )
+        self._init_stride(config, host_id, num_hosts)

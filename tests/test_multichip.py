@@ -168,3 +168,37 @@ def test_multichip_resumed_metrics_count_traced_sweeps(cbox_small):
         r.scheduler.sweep(s)  # scheduler replay, as resume_checkpoint does
     m = r.render()
     assert m["primary_rays"] == 128 * 64 * 1
+
+
+@pytest.mark.parametrize("cls_name", ["MultiHostMultiChipRenderer",
+                                      "MultiHostMegaRenderer"])
+def test_host_stride_times_chip_shard_matches_single(cbox_small, cls_name):
+    """The full pod topology (SURVEY §2.5): sweeps stride across simulated
+    hosts while each host shards its sweeps over a 2-device mesh. The merged
+    film must equal the plain single-device render (identical per-sweep
+    deltas; only film-add order differs)."""
+    import hijiki_tpu.parallel.multihost as mh
+    from hijiki_tpu.parallel.multihost import merge_films
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+
+    cls = getattr(mh, cls_name)
+    # mega row-band sharding needs (height / ndev) % block_size == 0
+    cfg = dict(width=64, height=128, spp=3, block_size=64, seed=7,
+               max_bounces=8)
+    if cls_name == "MultiHostMegaRenderer":
+        cfg["driver"] = "mega"
+    films = []
+    for h in range(2):
+        r = cls(cbox_small, RenderConfig(**cfg), host_id=h, num_hosts=2,
+                num_devices=2)
+        m = r.render()
+        assert m["host_id"] == h and m["devices"] == 2
+        films.append(r.film)
+    merged = np.asarray(merge_films(films))
+
+    ref = Renderer(cbox_small, RenderConfig(**cfg))
+    ref.render()
+    # sharded-vs-single FMA/fusion noise, same bound as
+    # test_multichip_matches_single
+    np.testing.assert_allclose(merged, np.asarray(ref.film),
+                               rtol=1e-4, atol=2e-4)

@@ -15,12 +15,12 @@ import pytest
 
 _WORKER = r"""
 import os, sys
-pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]; cls = sys.argv[4]
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
 import numpy as np
-from hijiki_tpu.parallel.multihost import MultiHostRenderer
+import hijiki_tpu.parallel.multihost as mh
 from hijiki_tpu.render.renderer import RenderConfig
 from hijiki_tpu.scene.compile import compile_scene
 from hijiki_tpu.scene.obj import load_obj_scene
@@ -30,7 +30,8 @@ scene.put_cbox_spheres()
 cs = compile_scene(scene)
 cfg = RenderConfig(width=32, height=32, spp=3, block_size=64, seed=7,
                    max_bounces=8, driver="sync")
-r = MultiHostRenderer(cs, cfg)  # host_id/num_hosts from jax.distributed
+kw = dict(num_devices=2) if cls == "MultiHostMultiChipRenderer" else {}
+r = getattr(mh, cls)(cs, cfg, **kw)  # host topology from jax.distributed
 assert r.num_hosts == 2 and r.host_id == pid, (r.num_hosts, r.host_id)
 r.render()
 merged = np.asarray(r.merged_film())
@@ -40,8 +41,12 @@ print("worker", pid, "ok", flush=True)
 """
 
 
-def test_two_process_dcn_merge(tmp_path):
-    port = "43217"
+@pytest.mark.parametrize("cls,port", [
+    ("MultiHostRenderer", "43217"),
+    # the full topology: local 2-device mesh per process + DCN stride
+    ("MultiHostMultiChipRenderer", "43219"),
+])
+def test_two_process_dcn_merge(tmp_path, cls, port):
     out = str(tmp_path / "merged.npy")
     script = str(tmp_path / "worker.py")
     with open(script, "w") as f:
@@ -55,7 +60,7 @@ def test_two_process_dcn_merge(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), port, out],
+            [sys.executable, script, str(pid), port, out, cls],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -82,6 +87,7 @@ def test_two_process_dcn_merge(tmp_path):
     )
     r.render()
     merged = np.load(out)
+    # sharded-vs-single FMA/fusion noise (test_multichip tolerances)
     np.testing.assert_allclose(
-        merged, np.asarray(r.film), rtol=1e-6, atol=1e-7
+        merged, np.asarray(r.film), rtol=1e-4, atol=2e-4
     )
