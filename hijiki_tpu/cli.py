@@ -127,6 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
         "0 = auto, 1 = on, -1 = off",
     )
     p.add_argument(
+        "--mega-trunk",
+        type=int,
+        default=0,
+        help="VMEM trunk cache rows for HBM-streamed trace tables "
+        "(bitwise-equal outputs); 0 = auto, -1 = off, N = first N rows",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -211,6 +218,7 @@ def main(argv=None) -> int:
         mega_groups=args.mega_groups,
         chain_sweeps=args.chain_sweeps,
         spec_resolve=args.spec_resolve,
+        mega_trunk=args.mega_trunk,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":

@@ -196,6 +196,17 @@ def _check_groups(packet, groups, spec, table_in_hbm):
         raise ValueError("groups>1 requires the spec walker (spec=True)")
 
 
+def _clamp_trunk(trunk_rows, table_in_hbm, ntab, tbl_rows):
+    """Resolve the static VMEM trunk-cache row count: only meaningful for
+    single-table HBM walks (octant table sets would need 8 trunks), capped
+    at the walk section and rounded down to whole sublane groups for the
+    bulk fill DMA. 0 disables the trunk."""
+    if not table_in_hbm or ntab != 1 or trunk_rows <= 0:
+        return 0
+    k = min(int(trunk_rows), tbl_rows)
+    return k if k == tbl_rows else (k // SUBLANES) * SUBLANES
+
+
 def _fetch_rows8(rows_ref, num_rows, cur):
     """Fetch one trace row per packet (8 dynamic slices) -> (8, W)."""
     return jnp.concatenate(
@@ -241,15 +252,46 @@ def _fetch_rows8_hbm_sync(rows_ref, num_rows, cur, scratch, sems):
     return scratch[...]
 
 
-def _with_hbm_bufs(cfg, fn):
+def _with_hbm_bufs(cfg, fn, rows_ref=None):
     """Run ``fn(cfg)`` with per-kernel DMA staging buffers in cfg['hbm_bufs']
     when the trace table lives in HBM (cfg['hbm']): one (8,128) VMEM slot
     per cursor group for the walker's pipelined row fetches, one for the
-    resolve loop's synchronous fetch, and their DMA semaphores."""
+    resolve loop's synchronous fetch, and their DMA semaphores.
+
+    When cfg['trunk_rows'] = K > 0, also allocates a (K, HBM_ROW_WIDTH) VMEM
+    trunk cache and fills it once per kernel with the table's first K rows
+    (one bulk DMA from ``rows_ref``). Because the threaded walk's cursor is
+    strictly increasing (descend = cur+1, skip = exit > cur), the walk splits
+    exactly into a VMEM phase (all cursors < K) and a DMA phase — no parking
+    or restart logic (see _traverse_hbm_grouped). Preorder tables concentrate
+    98-99%% of row visits in the low rows (tools/sim_hbm_topcache.py), so the
+    trunk serves almost every iteration at VMEM fetch cost instead of a ~µs
+    row copy."""
     if not cfg.get("hbm"):
         fn(cfg)
         return
     G = cfg.get("groups", 1)
+    K = cfg.get("trunk_rows", 0)
+
+    if K > 0:
+        def inner(scr_a, sem_a, scr_r, sem_r, trunk, sem_t):
+            cp = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(0, K), :], trunk, sem_t
+            )
+            cp.start()
+            cp.wait()
+            fn(dict(cfg, hbm_bufs=(scr_a, sem_a, scr_r, sem_r, trunk)))
+
+        pl.run_scoped(
+            inner,
+            pltpu.VMEM((G * SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((G * SUBLANES,)),
+            pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((SUBLANES,)),
+            pltpu.VMEM((K, HBM_ROW_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
+        return
 
     def inner(scr_a, sem_a, scr_r, sem_r):
         fn(dict(cfg, hbm_bufs=(scr_a, sem_a, scr_r, sem_r)))
@@ -862,7 +904,7 @@ def _traverse_spec_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
 def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                           ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
                           groups, hbm_bufs, group_octant=True, packed=None,
-                          spec_resolve=False):
+                          spec_resolve=False, trunk_rows=0):
     """Grouped DMA-pipelined walk of an HBM-resident table: G independent
     cursor groups, each with its own (8, HBM_ROW_WIDTH) scratch slot and
     in-flight row copy.
@@ -876,10 +918,23 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
     tests) to land before its wait at iteration i+1. Group unions also
     shrink exactly as in the VMEM grouped walker (PERF_NOTES §9m).
 
+    ``trunk_rows`` = K > 0 enables the VMEM trunk cache (hbm_bufs[4],
+    filled by _with_hbm_bufs with the table's first K rows): the threaded
+    walk's cursor is strictly increasing (descend = cur+1, skip = exit >
+    cur), so every walk splits exactly into phase A — all fetches from the
+    VMEM trunk while cursors are < K — and phase B, the DMA walk below,
+    resumed from phase A's cursors/state. Preorder tables put 98-99% of
+    row visits below small K (tools/sim_hbm_topcache.py), and for PACKED
+    formats the whole WALK section often fits (payload rows stay in HBM
+    for the resolve loop), in which case phase B is skipped entirely at
+    trace time (K == tbl_rows).
+
     Exactness: identical per-lane accept semantics to every other walker;
-    images differ only in t-tie winners across groupings. The any-hit early
-    exit tests the previous iteration's hit flags (one extra iteration,
-    exact otherwise) — same as the single-cursor DMA walk.
+    images differ only in t-tie winners across groupings (the trunk split
+    itself changes nothing: per sublane-cursor the visited-row sequence and
+    every accept predicate are identical with or without it). The any-hit
+    early exit tests the previous iteration's hit flags (one extra
+    iteration, exact otherwise) — same as the single-cursor DMA walk.
     """
     G = groups
     P = ox.shape[1]
@@ -1006,6 +1061,60 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
             out[f"g{g}"] = ng
         return out
 
+    use_trunk = trunk_rows > 0 and len(hbm_bufs) > 4
+    trunk = hbm_bufs[4] if use_trunk else None
+
+    def cond_a(c):
+        alive = c["g0"]["cur"] < trunk_rows
+        for g in range(1, G):
+            alive = alive | (c[f"g{g}"]["cur"] < trunk_rows)
+        return jnp.any(alive)
+
+    def body_a(c):
+        # phase A: plain VMEM fetch walk over the trunk (classic-walker
+        # structure — fused vote + prim test, fresh-flag any-hit exit);
+        # cursors that cross K (or finish) freeze until phase B
+        out = {"nit": c["nit"] + f32(1.0)}
+        for g in range(G):
+            cg = c[f"g{g}"]
+            cur = cg["cur"]
+            rows8 = _fetch_rows8(trunk, trunk_rows, cur)
+            nexit = rows8[:, 10:11].astype(jnp.int32)
+            is_prim_s = rows8[:, 9:10] >= f32(0.0)
+            active = cur < trunk_rows
+            if want_payload:
+                best_t = cg["t"]
+            else:
+                best_t = jnp.where(cg["hitf"] > 0, tming[g], tmaxg[g])
+            descend = slab_vote(g, rows8, best_t, active)
+            phit, pt, pu, pv, pslot = _prim_test(
+                rows8, oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
+                tming[g], best_t, analytic,
+                packed=packed[2] if packed is not None else 0,
+            )
+            accept = (active & is_prim_s) & phit & (pt < best_t)
+            ng = dict(cg)
+            if want_payload:
+                ng["t"] = jnp.where(accept, pt, cg["t"])
+                ng["u"] = jnp.where(accept, pu, cg["u"])
+                ng["v"] = jnp.where(accept, pv, cg["v"])
+                if packed is not None:
+                    win = pslot.astype(jnp.int32)
+                else:
+                    win = jnp.broadcast_to(cur, (SUBLANES, W))
+                ng["wrow"] = jnp.where(accept, win, cg["wrow"])
+            else:
+                ng["hitf"] = jnp.where(accept, f32(1.0), cg["hitf"])
+            nxt = jnp.where(is_prim_s | ~descend, nexit, cur + 1)
+            if not want_payload:
+                done = jnp.all(
+                    (ng["hitf"] > 0) | (tmaxg[g] < 0), axis=1, keepdims=True
+                )
+                nxt = jnp.where(done, ends[g], nxt)
+            ng["cur"] = jnp.where(active, nxt, cur)
+            out[f"g{g}"] = ng
+        return out
+
     init = {"nit": jnp.zeros((SUBLANES, 1), f32)}
     enc = packed[1] if packed is not None else total_rows
     for g in range(G):
@@ -1022,15 +1131,29 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
             gi["wrow"] = jnp.full((SUBLANES, W), enc, jnp.int32)
         else:
             gi["hitf"] = jnp.zeros((SUBLANES, W), f32)
-        _dma_rows8(rows_ref, total_rows, bases[g], scr_a, sem_a, slot=g)
         init[f"g{g}"] = gi
 
-    final = jax.lax.while_loop(cond, body, init)
-    for g in range(G):
-        # drain the final in-flight copies so the scoped semaphores end at 0
-        _dma_rows8_wait(
-            rows_ref, total_rows, final[f"g{g}"]["cur"], scr_a, sem_a, slot=g
-        )
+    if use_trunk:
+        init = jax.lax.while_loop(cond_a, body_a, init)
+
+    if use_trunk and trunk_rows >= tbl_rows:
+        # the trunk holds the entire walk section: every cursor is already
+        # past its end — the DMA phase has nothing to do (statically known)
+        final = init
+    else:
+        for g in range(G):
+            _dma_rows8(
+                rows_ref, total_rows, init[f"g{g}"]["cur"], scr_a, sem_a,
+                slot=g,
+            )
+        final = jax.lax.while_loop(cond, body, init)
+        for g in range(G):
+            # drain the final in-flight copies so the scoped semaphores end
+            # at 0
+            _dma_rows8_wait(
+                rows_ref, total_rows, final[f"g{g}"]["cur"], scr_a, sem_a,
+                slot=g,
+            )
     cat = lambda k: jnp.concatenate(
         [final[f"g{g}"][k] for g in range(G)], axis=1
     )
@@ -1046,7 +1169,8 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
               prefetch=False, hbm_bufs=None, spec=False, pred=None,
-              groups=1, group_octant=True, packed=None, spec_resolve=False):
+              groups=1, group_octant=True, packed=None, spec_resolve=False,
+              trunk_rows=0):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -1084,12 +1208,12 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
-        if groups > 1:
+        if groups > 1 or (trunk_rows > 0 and len(hbm_bufs) > 4):
             return _traverse_hbm_grouped(
                 rows_ref, tbl_rows, total_rows, analytic, base,
                 ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
                 groups, hbm_bufs, group_octant=group_octant, packed=packed,
-                spec_resolve=spec_resolve,
+                spec_resolve=spec_resolve, trunk_rows=trunk_rows,
             )
     inv_dx = f32(1.0) / dx
     inv_dy = f32(1.0) / dy
@@ -1673,6 +1797,7 @@ def _bounce_loop(rows_ref, cfg, init):
     groups = cfg.get("groups", 1)
     group_octant = cfg.get("group_octant", True)
     hbm_bufs = cfg.get("hbm_bufs")
+    trunk_rows = cfg.get("trunk_rows", 0)
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
@@ -1740,6 +1865,7 @@ def _bounce_loop(rows_ref, cfg, init):
             groups=groups,
             group_octant=group_octant,
             packed=packed,
+            trunk_rows=trunk_rows,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -2012,6 +2138,7 @@ def _bounce_loop(rows_ref, cfg, init):
                 groups=groups,
                 group_octant=group_octant,
                 packed=packed,
+                trunk_rows=trunk_rows,
             )
         unoccluded = sh["hitf"] == 0
 
@@ -2350,7 +2477,7 @@ def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, c
     def go(cfg):
         _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, cfg)
 
-    _with_hbm_bufs(cfg, go)
+    _with_hbm_bufs(cfg, go, rows_ref)
 
 
 def _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, cfg):
@@ -2392,6 +2519,7 @@ def render_tiles(
     table_in_hbm: bool = False,
     groups: int = 1,
     group_octant: bool = True,
+    trunk_rows: int = 0,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
     depth(N,), state(N,)). N must be a multiple of 8*packet."""
@@ -2403,6 +2531,8 @@ def render_tiles(
     n_tiles = N // tile
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static
+    trunk_rows = _clamp_trunk(trunk_rows, table_in_hbm, ntab,
+                              scene.mega_tbl_rows)
 
     cfg = dict(
         tbl_rows=scene.mega_tbl_rows,
@@ -2437,6 +2567,7 @@ def render_tiles(
         hbm=table_in_hbm,
         groups=groups,
         group_octant=group_octant,
+        trunk_rows=trunk_rows,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
@@ -2527,7 +2658,7 @@ def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cf
         s = _bounce_loop(rows_ref, cfg, init)
         _write_state(st_out, rng_out, s)
 
-    _with_hbm_bufs(cfg, go)
+    _with_hbm_bufs(cfg, go, rows_ref)
 
 
 def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
@@ -2550,7 +2681,7 @@ def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
         ))
         _bounce_loop(rows_ref, cfg2, init)
 
-    _with_hbm_bufs(cfg, go)
+    _with_hbm_bufs(cfg, go, rows_ref)
 
 
 def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
@@ -2561,7 +2692,7 @@ def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
         s = _bounce_loop(rows_ref, cfg, init)
         _write_state(st_out, rng_out, s)
 
-    _with_hbm_bufs(cfg, go)
+    _with_hbm_bufs(cfg, go, rows_ref)
 
 
 def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret,
@@ -2700,6 +2831,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         "table_in_hbm",
         "groups",
         "group_octant",
+        "trunk_rows",
         "shadow_vis",
     ),
 )
@@ -2726,6 +2858,7 @@ def render_waves(
     table_in_hbm: bool = False,
     groups: int = 1,
     group_octant: bool = True,
+    trunk_rows: int = 0,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -2761,6 +2894,8 @@ def render_waves(
     N = px.shape[0]
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static
+    trunk_rows = _clamp_trunk(trunk_rows, table_in_hbm, ntab,
+                              scene.mega_tbl_rows)
 
     base_cfg = dict(
         tbl_rows=scene.mega_tbl_rows,
@@ -2795,6 +2930,7 @@ def render_waves(
         hbm=table_in_hbm,
         groups=groups,
         group_octant=group_octant,
+        trunk_rows=trunk_rows,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
@@ -2861,6 +2997,7 @@ def render_waves(
         "table_in_hbm",
         "groups",
         "group_octant",
+        "trunk_rows",
         "shadow_vis",
     ),
 )
@@ -2886,6 +3023,7 @@ def render_waves_chained(
     table_in_hbm: bool = False,
     groups: int = 1,
     group_octant: bool = True,
+    trunk_rows: int = 0,
 ):
     """Chained phased render: S sweep samples per pixel in ONE phase-0
     launch with in-kernel lane respawn (occupancy: a dead path's lane
@@ -2919,6 +3057,8 @@ def render_waves_chained(
     N = pxs.shape[1]
     rows = scene.trace_rows_mega
     ntab = scene.mega_num_tables_static
+    trunk_rows = _clamp_trunk(trunk_rows, table_in_hbm, ntab,
+                              scene.mega_tbl_rows)
 
     base_cfg = dict(
         tbl_rows=scene.mega_tbl_rows,
@@ -2952,6 +3092,7 @@ def render_waves_chained(
         hbm=table_in_hbm,
         groups=groups,
         group_octant=group_octant,
+        trunk_rows=trunk_rows,
         chain=S,
     )
     if table_in_hbm:

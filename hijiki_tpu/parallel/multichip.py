@@ -258,6 +258,7 @@ def make_sharded_mega_sweep(
     packet: int = 128,
     groups: int = 1,
     table_in_hbm: bool = False,
+    trunk_rows: int = 0,
 ):
     """Sharded sweep for the Pallas megakernel driver.
 
@@ -298,6 +299,7 @@ def make_sharded_mega_sweep(
             packet=packet,
             groups=groups,
             table_in_hbm=table_in_hbm,
+            trunk_rows=trunk_rows,
         )
         idx = jax.lax.axis_index(axis)
         row0 = idx * band
@@ -367,6 +369,7 @@ class MegaMultiChipRenderer(Renderer):
             MEGA_TABLE_LIMIT_BYTES,
             resolve_mega_groups,
             resolve_mega_packet,
+            resolve_mega_trunk,
         )
 
         self._sweep_fn = make_sharded_mega_sweep(
@@ -385,6 +388,11 @@ class MegaMultiChipRenderer(Renderer):
                 compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
             ),
             table_in_hbm=compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
+            trunk_rows=resolve_mega_trunk(
+                getattr(c, "mega_trunk", 0),
+                compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
+                compiled,
+            ),
         )
 
     def _sweep_delta(self, sched):

@@ -87,6 +87,12 @@ class RenderConfig:
     # tools/ab_resolve.py), 1 = on, -1 = off. Outputs are bitwise-equal
     # either way (tests/test_megakernel.py).
     spec_resolve: int = 0
+    # VMEM trunk cache for HBM-streamed trace tables (the walk serves rows
+    # below K from an on-chip copy; ops/pallas_megakernel._with_hbm_bufs):
+    # 0 = auto (resolve_mega_trunk), -1 = off, N > 0 = cache the first N
+    # rows (clamped to the walk section). Outputs are bitwise-equal either
+    # way (tests/test_megakernel.py).
+    mega_trunk: int = 0
 
 
 @partial(
@@ -109,6 +115,7 @@ class RenderConfig:
         "mega_groups",
         "mega_table_hbm",
         "mega_spec_resolve",
+        "mega_trunk",
         "seeds_from_blocks",
         "interpret",
     ),
@@ -135,6 +142,7 @@ def render_sweep(
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
+    mega_trunk: int = 0,
     seeds_from_blocks: bool = False,
     # run the Pallas kernels (megakernel + reconstruction) in interpret
     # mode — required on non-TPU backends (the renderer auto-sets this)
@@ -180,6 +188,7 @@ def render_sweep(
             groups=mega_groups,
             table_in_hbm=mega_table_hbm,
             spec_resolve=mega_spec_resolve,
+            trunk_rows=mega_trunk,
             interpret=interpret,
         )
         total = t_.reshape(H, W, 3)
@@ -278,6 +287,13 @@ def render_sweep(
 # renderer streams the table from HBM instead (the walker's DMA mode)
 from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_BYTES
 
+# VMEM budget for the HBM walk's trunk cache (resolve_mega_trunk): 12 MiB =
+# 24576 padded rows — comfortably inside the 64 MiB scoped-VMEM limit
+# (utils/tpuenv.py) next to the megakernel's ~37 MiB high-water at 1024-lane
+# packets, and enough to hold the ENTIRE PACKED12 walk section of 100k+-tri
+# scenes (the payload rows stay in HBM for the resolve loop).
+MEGA_TRUNK_BYTES = 12 << 20
+
 
 @partial(
     jax.jit,
@@ -291,6 +307,7 @@ from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_B
         "mega_packet",
         "mega_groups",
         "mega_spec_resolve",
+        "mega_trunk",
         "interpret",
         "mega_table_hbm",
     ),
@@ -310,6 +327,7 @@ def render_sweeps_chained(
     mega_groups: int = 1,
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
+    mega_trunk: int = 0,
     interpret: bool = False,
 ):
     """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
@@ -352,6 +370,7 @@ def render_sweeps_chained(
         groups=mega_groups,
         table_in_hbm=mega_table_hbm,
         spec_resolve=mega_spec_resolve,
+        trunk_rows=mega_trunk,
         interpret=interpret,
     )
     delta = reconstruct_pallas(
@@ -532,6 +551,31 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
     return MEGA_GROUPS_TPU
 
 
+def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
+    """VMEM trunk-cache rows for HBM-streamed walks. 0 = auto: cache the
+    whole walk section when it fits a conservative VMEM budget (PACKED12
+    compresses the walk of 100k+-tri scenes to a few MiB; the payload rows
+    stay in HBM for the resolve loop), else the budget's worth of top rows
+    (preorder tables concentrate 98-99% of visits there —
+    tools/sim_hbm_topcache.py). -1 = off, N > 0 = N rows. Sized against
+    MEGA_TRUNK_BYTES at the padded 512 B/row. HIJIKI_MEGA_TRUNK overrides
+    the auto choice. Estimator-exact either way (the threaded walk's
+    cursor is strictly increasing, so the trunk only changes WHERE a row
+    is fetched from)."""
+    import os
+
+    if not table_hbm:
+        return 0
+    if requested:
+        return max(requested, 0)
+    env = os.environ.get("HIJIKI_MEGA_TRUNK")
+    if env:
+        return max(int(env), 0)
+    if scene.mega_num_tables_static != 1:
+        return 0
+    return min(scene.mega_tbl_rows, MEGA_TRUNK_BYTES // 512)
+
+
 class Renderer:
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
         self._mega_table_hbm = False
@@ -577,6 +621,9 @@ class Renderer:
             ),
             mega_table_hbm=self._mega_table_hbm,
             mega_spec_resolve=resolve_spec_resolve(c.spec_resolve),
+            mega_trunk=resolve_mega_trunk(
+                c.mega_trunk, self._mega_table_hbm, self.scene
+            ),
             # Pallas kernels need interpret mode off-TPU (bench.py's
             # on_tpu test); the mega driver is then driveable anywhere
             interpret=(
@@ -630,6 +677,7 @@ class Renderer:
                     mega_groups=kwargs["mega_groups"],
                     mega_table_hbm=self._mega_table_hbm,
                     mega_spec_resolve=kwargs["mega_spec_resolve"],
+                    mega_trunk=kwargs["mega_trunk"],
                     interpret=kwargs["interpret"],
                 )
                 self._last_stats = stats

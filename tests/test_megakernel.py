@@ -804,3 +804,80 @@ def test_shadow_cache_skip_all_rejected(setup):
             cs, px, py, seeds, width=W, height=H, max_bounces=4,
             interpret=True, shadow_cache=True, shadow_skip_all=True,
         )
+
+
+def test_hbm_trunk_cache_bitwise():
+    """The VMEM trunk cache (first-K-rows copy serving the walk's low-row
+    fetches; ops/pallas_megakernel._with_hbm_bufs) is a pure fetch-source
+    change: the threaded walk's cursor is strictly increasing, so the walk
+    splits exactly into a VMEM phase and a DMA phase with identical per-lane
+    visit sequences. Images must be BITWISE identical to the trunk-less HBM
+    walker for partial trunks, full-walk-section trunks (DMA phase skipped
+    statically), grouped walkers, and both row formats."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+
+    W, H = 64, 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    for pl in (0, 12):
+        # single-table flatten: the trunk is only defined for ntab == 1
+        # (octant table sets would need 8 trunks; HBM scenes skip octants)
+        cs = scene_to_device(
+            compile_scene(scene, packed_leaf=pl, octant_tables="never")
+        )
+        for trunk, shape_kw in (
+            (64, {}),                       # partial: both phases run
+            (1 << 30, {}),                  # full walk section: DMA skipped
+            (128, dict(groups=2, packet=256)),
+        ):
+            # the trunk-less reference must share packet/groups: packet
+            # composition changes t-tie winners (PERF_NOTES §9d); the trunk
+            # itself may not
+            base = render_tiles(cs, px, py, seeds, width=W, height=H,
+                                max_bounces=12, interpret=True,
+                                spec=False, table_in_hbm=True, **shape_kw)
+            out = render_tiles(cs, px, py, seeds, width=W, height=H,
+                               max_bounces=12, interpret=True,
+                               spec=False, table_in_hbm=True,
+                               trunk_rows=trunk, **shape_kw)
+            for a, b in zip(base[:3], out[:3]):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    pl, trunk, shape_kw,
+                )
+
+
+def test_resolve_mega_trunk():
+    """Auto trunk sizing: whole walk section when it fits MEGA_TRUNK_BYTES,
+    budget-capped otherwise, off for VMEM tables / octant table sets /
+    explicit -1, exact row count for explicit N."""
+    from hijiki_tpu.render.renderer import MEGA_TRUNK_BYTES, resolve_mega_trunk
+
+    class S:
+        def __init__(self, tbl_rows, ntab=1):
+            self.mega_tbl_rows = tbl_rows
+            self.mega_num_tables_static = ntab
+
+    budget_rows = MEGA_TRUNK_BYTES // 512
+    assert resolve_mega_trunk(0, False, S(100)) == 0          # VMEM table
+    assert resolve_mega_trunk(0, True, S(100)) == 100         # fits: whole walk
+    assert resolve_mega_trunk(0, True, S(10**9)) == budget_rows
+    assert resolve_mega_trunk(0, True, S(100, ntab=8)) == 0   # octant set
+    assert resolve_mega_trunk(-1, True, S(100)) == 0          # forced off
+    assert resolve_mega_trunk(7, True, S(100)) == 7           # explicit
+    import os
+    os.environ["HIJIKI_MEGA_TRUNK"] = "33"
+    try:
+        assert resolve_mega_trunk(0, True, S(100)) == 33
+    finally:
+        del os.environ["HIJIKI_MEGA_TRUNK"]

@@ -325,3 +325,52 @@ def test_spec_resolve_renderer_bitwise(cbox_small):
             films[(sr, chain)] = np.asarray(r.film)
     for chain in (1, 2):
         np.testing.assert_array_equal(films[(-1, chain)], films[(1, chain)])
+
+
+def test_renderer_hbm_trunk_auto_bitwise():
+    """End-to-end Renderer run in HBM-table mode with the auto VMEM trunk
+    (resolve_mega_trunk: the whole walk section fits MEGA_TRUNK_BYTES for a
+    single-table scene, so the DMA phase is skipped statically): the film
+    must be BITWISE identical to a trunk-disabled (-1) run."""
+    import numpy as np
+
+    from hijiki_tpu.render import renderer as rmod
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.model import Camera, Diffuse, Emissive, Quad, Scene, Triangle
+
+    s = Scene(camera=Camera.cbox_default())
+    white = s.add_material(Diffuse((0.7, 0.7, 0.7)))
+    light = s.add_material(Emissive((10.0,) * 3))
+    s.add_object(Quad((-0.5, 2.8, -0.5), (1, 0, 0), (0, 0, 1)), light)
+    rng = np.random.default_rng(0)
+    n = 96
+    ctr = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    s.positions = np.concatenate([ctr, ctr + 0.01, ctr + 0.02]).astype(np.float32)
+    s.normals = np.tile(np.array([[0, 1, 0]], np.float32), (3 * n, 1))
+    s.uvs = np.zeros((3 * n, 2), np.float32)
+    for i in range(n):
+        s.add_object(Triangle((i, n + i, 2 * n + i)), white)
+    # single-table flatten: the trunk is only defined for ntab == 1
+    cs = compile_scene(s, octant_tables="never")
+
+    films = {}
+    old = rmod.MEGA_TABLE_LIMIT_BYTES
+    rmod.MEGA_TABLE_LIMIT_BYTES = 1024  # force HBM streaming
+    try:
+        for trunk in (0, -1):  # auto (= whole walk section here) vs off
+            r = Renderer(
+                cs,
+                RenderConfig(width=32, height=32, spp=1, driver="mega",
+                             max_bounces=4, mega_trunk=trunk),
+            )
+            assert r._mega_table_hbm
+            if trunk == 0:
+                assert r._sweep_kwargs()["mega_trunk"] == cs.mega_tbl_rows
+            else:
+                assert r._sweep_kwargs()["mega_trunk"] == 0
+            r.render()
+            films[trunk] = np.asarray(r.film)
+    finally:
+        rmod.MEGA_TABLE_LIMIT_BYTES = old
+    np.testing.assert_array_equal(films[0], films[-1])

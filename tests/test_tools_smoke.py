@@ -51,6 +51,10 @@ def stubbed(monkeypatch):
                           "1", "2", "4", "8"]),
         ("ab_resolve", ["64", "1024", "4", "0"]),
         ("ab_resolve", ["--hbm", "64", "1024", "4", "12"]),
+        ("ab_trunk", ["--scene=/root/reference/scenes/cbox/cbox.obj",
+                      "0", "-1", "64"]),
+        ("ab_trunk", ["--scene=/root/reference/scenes/cbox/cbox.obj",
+                      "--groups=2", "--packed=0", "0", "-1"]),
     ],
 )
 def test_ab_tool_glue(stubbed, mod, argv):

@@ -27,6 +27,13 @@ run ab_hbm_formats python tools/ab_packedleaf.py \
 # 3. grouped DMA-pipelined HBM walker at the winning format
 run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
 
+# 3b. VMEM trunk cache on the HBM walk (0 = off, -1 = whole walk section,
+#     8192 = partial). The auto default is ON (resolve_mega_trunk) — if this
+#     measures a regression, flip it off (HIJIKI_MEGA_TRUNK=0 / revert the
+#     resolver) before reading bench_configs' cfg4b.
+run ab_trunk python tools/ab_trunk.py 0 -1 8192
+run ab_trunk_g4 python tools/ab_trunk.py --groups=4 0 -1
+
 # 4. walk-isolated fetch-width probe at 2048^2 (slice-count vs bytes cost
 #    model: w16/slim/pack3/pack4 vs w32 at identical ALU)
 run walk_probe python tools/walk_probe.py widths
