@@ -38,47 +38,14 @@ def main():
 
     # Bounded TPU availability probe BEFORE touching jax in-process: a wedged
     # axon tunnel hangs backend init for ~25 min per attempt (PERF_NOTES §9i,
-    # memory). Probe in a killable subprocess; on failure fall back to an
-    # honest (clearly labeled) CPU measurement instead of hanging the driver.
+    # memory). Probe in a killable subprocess (utils/tpuenv.tpu_available); on
+    # failure fall back to an honest (clearly labeled) CPU measurement instead
+    # of hanging the driver.
     import os
-    import subprocess
 
-    tpu_ok = True
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        tpu_ok = False
-    else:
-        here = os.path.dirname(os.path.abspath(__file__))
-        env = dict(os.environ)
-        env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
-        try:
-            pr = subprocess.run(
-                [
-                    sys.executable,
-                    "-c",
-                    "import hijiki_tpu, jax; "
-                    "d = jax.devices(); "
-                    "assert d and d[0].platform != 'cpu', d; "
-                    "print('tpu-ok')",
-                ],
-                capture_output=True,
-                text=True,
-                timeout=600,
-                cwd=here,
-                env=env,
-            )
-            tpu_ok = "tpu-ok" in pr.stdout
-            if not tpu_ok:
-                err = pr.stderr or ""
-                log("TPU probe failed:", err[-400:])
-                if "ModuleNotFoundError" in err or "ImportError" in err:
-                    # an env problem, not a TPU problem: don't silently
-                    # downgrade the benchmark — attempt the TPU path and let
-                    # the real import error surface
-                    tpu_ok = True
-        except subprocess.TimeoutExpired:
-            tpu_ok = False
-            log("TPU probe timed out (wedged tunnel?) — CPU fallback")
-    if not tpu_ok:
+    from hijiki_tpu.utils.tpuenv import tpu_available
+
+    if not tpu_available():
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     from hijiki_tpu.utils.tpuenv import configure_tpu_env

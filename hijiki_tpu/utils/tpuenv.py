@@ -54,6 +54,52 @@ def configure_tpu_env(scoped_vmem_kib: int = SCOPED_VMEM_KIB) -> None:
         _configured_before_backend = True
 
 
+def tpu_available(timeout: float = 600.0) -> bool:
+    """Bounded TPU availability probe, safe to call BEFORE jax backend init.
+
+    A wedged axon relay hangs backend initialization for ~25 min per attempt
+    (docs/PERF_NOTES.md §9i), which would stall any caller that merely wants
+    to know whether a TPU exists. Probe in a killable subprocess instead; the
+    probe exits before the caller initializes its own backend, so the
+    one-client-at-a-time tunnel rule is kept. Returns False on timeout or
+    init failure (callers should fall back to JAX_PLATFORMS=cpu), True when a
+    non-CPU device answered. Env problems in the subprocess (ImportError) are
+    reported as True so the caller surfaces the real error instead of
+    silently downgrading to CPU."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        pr = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import hijiki_tpu, jax; "
+                "d = jax.devices(); "
+                "assert d and d[0].platform != 'cpu', d; "
+                "print('tpu-ok')",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=repo,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        print("tpuenv: TPU probe timed out (wedged tunnel?)", file=sys.stderr)
+        return False
+    if "tpu-ok" in pr.stdout:
+        return True
+    err = pr.stderr or ""
+    print("tpuenv: TPU probe failed:", err[-400:], file=sys.stderr)
+    return "ModuleNotFoundError" in err or "ImportError" in err
+
+
 def scoped_vmem_effective() -> bool:
     """Whether the raised scoped-VMEM limit can be assumed active.
 

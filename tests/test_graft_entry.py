@@ -31,3 +31,17 @@ def test_entry_traces():
         # the driver's single-chip check)
     finally:
         sys.path.remove("/root/repo")
+
+
+def test_tpu_available_respects_cpu_pin():
+    """The bounded TPU probe (utils/tpuenv.tpu_available) must short-circuit
+    False under a JAX_PLATFORMS=cpu pin (the test env) without spawning a
+    subprocess — entry()/bench.py rely on it to avoid the wedged-tunnel
+    25-min backend-init hang (PERF_NOTES §9i)."""
+    import time
+
+    from hijiki_tpu.utils.tpuenv import tpu_available
+
+    t0 = time.monotonic()
+    assert tpu_available(timeout=5) is False
+    assert time.monotonic() - t0 < 1.0
