@@ -34,6 +34,12 @@ run ab_hbm_groups python tools/ab_hbmgroups.py 1 2 4 8
 run ab_trunk python tools/ab_trunk.py 0 -1 8192
 run ab_trunk_g4 python tools/ab_trunk.py --groups=4 0 -1
 
+# 3c. G-retune at the candidate VMEM formats (playbook step 1's follow-up,
+#     inlined so one recovery window is self-sufficient: SLIM halves
+#     bytes/slice so G=8's union shrinkage may now clear its fetch cost)
+run ab_groups_slim python tools/ab_groups.py 512 1024 1,2,4,8 --packed=1
+run ab_groups_p3 python tools/ab_groups.py 512 1024 1,2,4,8 --packed=3
+
 # 4. walk-isolated fetch-width probe at 2048^2 (slice-count vs bytes cost
 #    model: w16/slim/pack3/pack4 vs w32 at identical ALU)
 run walk_probe python tools/walk_probe.py widths
