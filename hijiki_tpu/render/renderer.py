@@ -536,10 +536,14 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
     if env:
         return int(env)
     if table_hbm:
-        # grouped DMA pipelining (G in-flight row copies) exists but is
-        # unmeasured on hardware; auto stays single-cursor until an on-chip
-        # A/B lands (tools/ab_packedleaf.py --hbm + HIJIKI_MEGA_GROUPS)
-        return 1
+        # grouped DMA pipelining: G cursor groups each with an in-flight
+        # row copy. On-chip A/B at the PACKED4 HBM format (101k-tri
+        # bigcbox, tools/ab_hbmgroups.py, PERF_NOTES §9z): G=2 1.183x,
+        # G=4 1.029x vs single-cursor — two in-flight DMAs hide the copy,
+        # four pay more slot overhead than their union shrinkage returns.
+        from hijiki_tpu.ops.pallas_megakernel import PACKET
+
+        return 2 if packet % (2 * PACKET) == 0 else 1
     import jax
 
     if jax.devices()[0].platform == "cpu":
@@ -552,16 +556,17 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
 
 
 def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
-    """VMEM trunk-cache rows for HBM-streamed walks. 0 = auto: cache the
-    whole walk section when it fits a conservative VMEM budget (PACKED12
-    compresses the walk of 100k+-tri scenes to a few MiB; the payload rows
-    stay in HBM for the resolve loop), else the budget's worth of top rows
-    (preorder tables concentrate 98-99% of visits there —
-    tools/sim_hbm_topcache.py). -1 = off, N > 0 = N rows. Sized against
-    MEGA_TRUNK_BYTES at the padded 512 B/row. HIJIKI_MEGA_TRUNK overrides
-    the auto choice. Estimator-exact either way (the threaded walk's
-    cursor is strictly increasing, so the trunk only changes WHERE a row
-    is fetched from)."""
+    """VMEM trunk-cache rows for HBM-streamed walks. 0 = auto: OFF — the
+    on-chip A/B (tools/ab_trunk.py, 101k-tri bigcbox, PACKED12) measured
+    the trunk a regression (whole-walk 0.965x, 8192-row 0.946x,
+    docs/PERF_NOTES.md §9z): the walker's row DMA is already hidden behind
+    the prim test and the trunk only adds the VMEM fill + a phase split.
+    The §9x visit-share sim (98-99% of visits in the first 16k rows) was
+    right about locality but wrong that the DMA was on the critical path.
+    -1 = off explicitly, N > 0 = first N rows (kept for experiments;
+    estimator-exact either way — the threaded walk's cursor is strictly
+    increasing, so the trunk only changes WHERE a row is fetched from).
+    HIJIKI_MEGA_TRUNK overrides."""
     import os
 
     if not table_hbm:
@@ -570,10 +575,12 @@ def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
         return max(requested, 0)
     env = os.environ.get("HIJIKI_MEGA_TRUNK")
     if env:
+        if int(env) == -2:  # -2 = the old auto: whole walk section
+            if scene.mega_num_tables_static != 1:
+                return 0
+            return min(scene.mega_tbl_rows, MEGA_TRUNK_BYTES // 512)
         return max(int(env), 0)
-    if scene.mega_num_tables_static != 1:
-        return 0
-    return min(scene.mega_tbl_rows, MEGA_TRUNK_BYTES // 512)
+    return 0
 
 
 class Renderer:

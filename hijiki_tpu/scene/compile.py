@@ -300,9 +300,15 @@ def build_trace_rows(
 # multiply the table size; past this we fall back to a single table.
 OCTANT_TABLE_BUDGET_BYTES = 12 << 20
 
-# Largest table the megakernel can stage in VMEM (measured on v5e; the
-# renderer streams bigger tables from HBM via the walker's DMA mode).
-MEGA_VMEM_TABLE_BYTES = 24 << 20
+# Largest table the megakernel can stage in VMEM (the renderer streams
+# bigger tables from HBM via the walker's DMA mode). Sized against the
+# measured scoped-VMEM high water on v5e: the chained walker's non-table
+# scratch is ~55.6 MiB of the 64 MiB limit at the default
+# packet/chain/groups config (a 100k-tri, 18.5 MiB table OOM'd the Mosaic
+# compile at 74.12 MiB — CLI verify, round 2 tail), so tables past 8 MiB
+# cannot actually co-reside and must stream. HBM streaming at this band
+# runs the measured PACKED4 + G=2 stack (docs/PERF_NOTES.md §9z).
+MEGA_VMEM_TABLE_BYTES = 8 << 20
 
 
 def build_octant_trace_tables(bvh, prim_args) -> np.ndarray:
@@ -603,13 +609,14 @@ def compile_scene(
     ``packed_leaf``: 0 = classic unpacked trace rows; N > 0 = pack leaves
     of N triangles per trace row (build_packed_trace_rows; N <= 3 uses the
     32-wide PACKED3 format, N == 4 the 64-wide format, N >= 5 the 128-wide
-    12-prim format); "auto" = pack with PACKED12_N exactly when the
+    12-prim format); "auto" = pack with PACKED_N=4 exactly when the
     megakernel table is headed for HBM streaming (large scenes): HBM rows
-    pad to 128 lanes, so the 128-wide format moves 12 prims per row DMA
-    where unpacked moves 1 at the same DMA size (PACKED4 measured 1.079x
-    there, PERF_NOTES §9s). The 64-wide format measured 0.91x for
-    VMEM-resident tables (its fetch-width tax); PACKED3 keeps fetch width
-    and targets the same iteration reduction there.
+    pad to 128 lanes, so wider packed rows move more prims per row DMA.
+    On-chip A/B on the 101k-tri bigcbox (tools/ab_packedleaf.py --hbm,
+    PERF_NOTES §9z): PACKED4 1.091x vs classic; PACKED12 0.795x — its
+    0.56x iteration cut is eaten by the 128-wide fetch/resolve tax, so
+    12 is available explicitly but never auto. VMEM-resident tables stay
+    unpacked (64-wide measured 0.91x, SLIM/PACKED3 0.948x/0.935x — §9y).
     """
     spheres: list[tuple[Sphere, int]] = []
     quads: list[tuple[Quad, int]] = []
@@ -838,15 +845,15 @@ def compile_scene(
                 # renderer's trigger is trace_rows_mega.nbytes >
                 # MEGA_VMEM_TABLE_BYTES (renderer.py aliases the same
                 # constant), and the post-collapse unpacked table measures
-                # ~1.5 rows/tri (bigcbox: 609k rows / 405k tris). HBM rows
-                # pad to 128 lanes, so the 128-wide 12-prim format moves 12
-                # prims per row DMA where unpacked moves 1 at the same DMA
-                # size. VMEM-resident tables measured 0.91x packed
-                # (PERF_NOTES §9s) and stay unpacked; a 2 rows/tri estimate
-                # here would wrongly pack ~98-125k-tri scenes whose unpacked
-                # tables still fit VMEM.
+                # ~1.5 rows/tri (bigcbox: 609k rows / 405k tris). PACKED4
+                # measured the on-chip HBM winner (1.091x vs classic;
+                # PACKED12's deeper iteration cut loses to the 128-wide
+                # fetch/resolve tax — PERF_NOTES §9z). VMEM-resident tables
+                # measured 0.91x packed (§9s) and stay unpacked; a
+                # 2 rows/tri estimate here would wrongly pack ~98-125k-tri
+                # scenes whose unpacked tables still fit VMEM.
                 est_unpacked = 3 * T // 2 * TRACE_ROW_WIDTH * 4
-                use_packed = PACKED12_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
+                use_packed = PACKED_N if est_unpacked > MEGA_VMEM_TABLE_BYTES else 0
             else:
                 use_packed = int(packed_leaf)
             tri_bvh = build_bvh(

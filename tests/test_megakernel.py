@@ -721,17 +721,18 @@ def test_packed_auto_gate():
     assert compile_scene(scene, packed_leaf=4).mega_packed_static
 
     # a scene whose unpacked table would exceed the VMEM budget gets the
-    # 128-wide 12-prim HBM format automatically
+    # 64-wide PACKED4 HBM format automatically (on-chip winner, §9z)
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from bigscene_probe import tri_soup_scene
 
-    # 250k tris: est 1.5 rows/tri x 128 B ~= 48 MB >> the 24 MB VMEM
-    # budget (120k sits in the fits-VMEM band and must stay unpacked)
+    # 250k tris: est 1.5 rows/tri x 128 B ~= 48 MB >> the 8 MB VMEM
+    # table budget (~44k tris; bigger tables cannot co-reside with the
+    # walker's ~56 MiB scratch under the 64 MiB scoped limit)
     big = compile_scene(tri_soup_scene(250_000))
-    assert big.mega_packed_static == 12
-    assert big.trace_rows_mega.shape[1] == 128
+    assert big.mega_packed_static == 4
+    assert big.trace_rows_mega.shape[1] == 64
 
 
 def test_slim_leaf_rows_ulp_identical():
@@ -858,9 +859,9 @@ def test_hbm_trunk_cache_bitwise():
 
 
 def test_resolve_mega_trunk():
-    """Auto trunk sizing: whole walk section when it fits MEGA_TRUNK_BYTES,
-    budget-capped otherwise, off for VMEM tables / octant table sets /
-    explicit -1, exact row count for explicit N."""
+    """Auto trunk sizing: OFF by default (measured regression on-chip,
+    PERF_NOTES §9z), explicit N honored, env override incl. the -2 legacy
+    whole-walk auto, off for VMEM tables."""
     from hijiki_tpu.render.renderer import MEGA_TRUNK_BYTES, resolve_mega_trunk
 
     class S:
@@ -870,14 +871,19 @@ def test_resolve_mega_trunk():
 
     budget_rows = MEGA_TRUNK_BYTES // 512
     assert resolve_mega_trunk(0, False, S(100)) == 0          # VMEM table
-    assert resolve_mega_trunk(0, True, S(100)) == 100         # fits: whole walk
-    assert resolve_mega_trunk(0, True, S(10**9)) == budget_rows
-    assert resolve_mega_trunk(0, True, S(100, ntab=8)) == 0   # octant set
+    assert resolve_mega_trunk(0, True, S(100)) == 0           # auto = off (§9z)
     assert resolve_mega_trunk(-1, True, S(100)) == 0          # forced off
     assert resolve_mega_trunk(7, True, S(100)) == 7           # explicit
     import os
     os.environ["HIJIKI_MEGA_TRUNK"] = "33"
     try:
         assert resolve_mega_trunk(0, True, S(100)) == 33
+    finally:
+        del os.environ["HIJIKI_MEGA_TRUNK"]
+    os.environ["HIJIKI_MEGA_TRUNK"] = "-2"  # legacy whole-walk auto
+    try:
+        assert resolve_mega_trunk(0, True, S(100)) == 100
+        assert resolve_mega_trunk(0, True, S(10**9)) == budget_rows
+        assert resolve_mega_trunk(0, True, S(100, ntab=8)) == 0
     finally:
         del os.environ["HIJIKI_MEGA_TRUNK"]
