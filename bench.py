@@ -10,6 +10,14 @@ block_until_ready() does not reliably synchronize, so the timed region chains
 all sweeps into one accumulated film and ends with a forced host
 materialization.
 
+Wedge resilience (PERF_NOTES §8/§9i): cross-process timings through the axon
+tunnel drift 1.5-2x and a wedged tunnel can stall a single pass for minutes,
+so the timed region runs N>=3 passes in one process and reports the
+MAX-throughput pass ("compare minima"); a wedge signature during warmup
+(>5x the expected compile+first-sweep time) triggers an extra settle pass
+before timing, and the JSON line carries warmup/per-pass timings so a
+poisoned run is self-identifying.
+
 Extra diagnostics go to stderr so stdout stays a single JSON line.
 """
 
@@ -110,6 +118,8 @@ def main():
         f"{compiled.trace_rows.shape[0]} trace rows"
     )
 
+    import jax.numpy as jnp
+
     # warmup render (compiles everything), forced via image()
     cfg = RenderConfig(
         width=W, height=H, spp=warmup_spp, seed=0, driver=driver,
@@ -119,33 +129,60 @@ def main():
     t0 = time.monotonic()
     r.render()
     img = r.image()
-    log(f"warmup (incl. compile): {time.monotonic()-t0:.1f}s, mean {img.mean():.4f}")
+    warmup_s = time.monotonic() - t0
+    log(f"warmup (incl. compile): {warmup_s:.1f}s, mean {img.mean():.4f}")
 
-    # timed: fresh renderer, different seed, forced materialization at the end
-    cfg = RenderConfig(
-        width=W, height=H, spp=timed_spp, seed=1, driver=driver,
-        max_bounces=1000, block_size=block_size,
-    )
-    r = make_renderer(compiled, cfg)
-    t0 = time.monotonic()
-    r.render()
-    # true synchronization via a 4-byte device-side reduction:
-    # block_until_ready() does not reliably synchronize on this stack, and a
-    # full-image readback pulls 16 MB through the tunnel (~0.9 s) — which the
-    # reference also excludes from its timed region (rays/s is printed before
-    # save_image, src/main.rs:1487-1493)
-    import jax.numpy as jnp
+    # wedge signature: a healthy compile+first-render via the tunnel is
+    # ~30-60 s (cached compile: ~5-20 s). Far beyond that means the tunnel
+    # stalled mid-warmup (the ~25-min wedge, §9i); give it one settle pass
+    # (cheap — everything is compiled now) so the timed region starts on a
+    # recovered tunnel rather than a poisoned one.
+    WEDGE_WARMUP_S = 300.0
+    wedged = bool(on_tpu and warmup_s > WEDGE_WARMUP_S)
+    if wedged:
+        log(f"WEDGE signature: warmup {warmup_s:.0f}s > {WEDGE_WARMUP_S:.0f}s; settle pass")
+        t0 = time.monotonic()
+        r = make_renderer(compiled, cfg)
+        r.render()
+        float(jnp.sum(r.film if hasattr(r, "film") else r.image()))
+        log(f"settle pass: {time.monotonic()-t0:.1f}s")
 
-    film_sum = float(jnp.sum(r.film if hasattr(r, "film") else r.image()))
-    elapsed = time.monotonic() - t0
-    img = r.image()
+    def timed_pass(seed: int) -> float:
+        # fresh renderer, forced materialization at the end.
+        # True synchronization via a 4-byte device-side reduction:
+        # block_until_ready() does not reliably synchronize on this stack,
+        # and a full-image readback pulls 16 MB through the tunnel (~0.9 s)
+        # — which the reference also excludes from its timed region (rays/s
+        # is printed before save_image, src/main.rs:1487-1493).
+        c = RenderConfig(
+            width=W, height=H, spp=timed_spp, seed=seed, driver=driver,
+            max_bounces=1000, block_size=block_size,
+        )
+        rr = make_renderer(compiled, c)
+        t = time.monotonic()
+        rr.render()
+        float(jnp.sum(rr.film if hasattr(rr, "film") else rr.image()))
+        el = time.monotonic() - t
+        timed_pass.last = rr
+        return el
+
+    # N timed passes in one process; the reported number is the
+    # max-throughput pass (min elapsed) per PERF_NOTES §8's compare-minima
+    # rule — tunnel hiccups only ever ADD time.
+    n_passes = 3 if on_tpu else 2
+    times = [timed_pass(1 + i) for i in range(n_passes)]
+    if on_tpu and max(times) / min(times) > 1.5:
+        log(f"pass spread {max(times)/min(times):.2f}x > 1.5x; 2 extra passes")
+        times += [timed_pass(1 + n_passes + i) for i in range(2)]
+    elapsed = min(times)
+    img = timed_pass.last.image()
 
     primary = W * H * timed_spp
     mrays_per_chip = primary / elapsed / 1e6 / n_dev
     finite = bool((img == img).all())
     log(
-        f"timed: {timed_spp} spp in {elapsed:.2f}s -> "
-        f"{mrays_per_chip:.3f} Mrays/s/chip x {n_dev} chips"
+        f"timed passes: {[round(t, 2) for t in times]} s ({timed_spp} spp each); "
+        f"best {elapsed:.2f}s -> {mrays_per_chip:.3f} Mrays/s/chip x {n_dev} chips"
     )
     log(f"image mean {float(img.mean()):.4f} (finite={finite})")
 
@@ -164,6 +201,11 @@ def main():
                 "value": round(mrays_per_chip, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays_per_chip / 100.0, 4),
+                # self-identification tail: a poisoned run shows a huge
+                # warmup and/or a wide pass spread right in the artifact
+                "warmup_s": round(warmup_s, 1),
+                "timed_passes_s": [round(t, 2) for t in times],
+                "wedged_warmup": wedged,
             }
         )
     )

@@ -328,10 +328,11 @@ def test_spec_resolve_renderer_bitwise(cbox_small):
 
 
 def test_renderer_hbm_trunk_auto_bitwise():
-    """End-to-end Renderer run in HBM-table mode with the auto VMEM trunk
-    (resolve_mega_trunk: the whole walk section fits MEGA_TRUNK_BYTES for a
-    single-table scene, so the DMA phase is skipped statically): the film
-    must be BITWISE identical to a trunk-disabled (-1) run."""
+    """End-to-end Renderer run in HBM-table mode: the auto VMEM trunk is OFF
+    (resolve_mega_trunk — the on-chip A/B measured the trunk a regression,
+    PERF_NOTES §9z), and an EXPLICIT whole-walk trunk run must still be
+    BITWISE identical to a trunk-disabled (-1) run (the trunk only changes
+    where a row is fetched from, never the walk order)."""
     import numpy as np
 
     from hijiki_tpu.render import renderer as rmod
@@ -358,14 +359,15 @@ def test_renderer_hbm_trunk_auto_bitwise():
     old = rmod.MEGA_TABLE_LIMIT_BYTES
     rmod.MEGA_TABLE_LIMIT_BYTES = 1024  # force HBM streaming
     try:
-        for trunk in (0, -1):  # auto (= whole walk section here) vs off
+        # explicit whole-walk trunk vs off; auto (0) must resolve to OFF
+        for trunk in (cs.mega_tbl_rows, -1, 0):
             r = Renderer(
                 cs,
                 RenderConfig(width=32, height=32, spp=1, driver="mega",
                              max_bounces=4, mega_trunk=trunk),
             )
             assert r._mega_table_hbm
-            if trunk == 0:
+            if trunk > 0:
                 assert r._sweep_kwargs()["mega_trunk"] == cs.mega_tbl_rows
             else:
                 assert r._sweep_kwargs()["mega_trunk"] == 0
@@ -373,4 +375,5 @@ def test_renderer_hbm_trunk_auto_bitwise():
             films[trunk] = np.asarray(r.film)
     finally:
         rmod.MEGA_TABLE_LIMIT_BYTES = old
+    np.testing.assert_array_equal(films[cs.mega_tbl_rows], films[-1])
     np.testing.assert_array_equal(films[0], films[-1])
