@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--packed-leaf",
         default="auto",
-        help="Megakernel trace-row format: auto (pack 12-prim 128-col rows "
+        help="Megakernel trace-row format: auto (pack 4-prim 64-col rows "
         "for HBM-streamed scenes, classic rows otherwise), 0 = classic, "
         "1 = SLIM 16-col rows, 2-3 = 32-col 3-prim rows, 4 = 64-col "
         "4-prim rows, 5+ = 128-col 12-prim rows (scene/compile.py "

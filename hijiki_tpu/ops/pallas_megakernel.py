@@ -2938,6 +2938,19 @@ def render_waves(
     caps = list(phase_bounces) + [max_bounces]
     caps = [min(c, max_bounces) for c in caps]
     shrinks = list(phase_shrink) + [4] * (len(caps) - 1 - len(phase_shrink))
+    # drop no-op resume phases (cap <= the bounce budget already spent):
+    # a lane parked at cap X gains nothing from a resume capped at <= X —
+    # the relaunch would retire it immediately with identical state — but
+    # the phase's capacity truncation could still (spuriously) drop lanes
+    # and report overflow. max_bounces <= phase_bounces[0] collapses to a
+    # single phase. Bitwise-identical: skipped phases commit nothing new.
+    kept = [(c, s) for c, s in zip(caps[1:], shrinks) if c > caps[0]]
+    inc = []
+    for c, s in kept:
+        if not inc or c > inc[-1][0]:
+            inc.append((c, s))
+    caps = [caps[0]] + [c for c, _ in inc]
+    shrinks = [s for _, s in inc]
 
     def tiles_of(n):
         return n // tile
@@ -3136,14 +3149,28 @@ def render_waves_chained(
     )
     res_state = rngf
 
-    caps = [min(c, max_bounces) for c in phase_bounces if c > cap0]
-    if not caps or caps[-1] != max_bounces:
+    # clamp FIRST, then drop no-op caps (a phase_bounces entry clamped down
+    # to <= cap0 would otherwise survive the filter and run as a pure
+    # truncation pass)
+    caps = [c for c in (min(x, max_bounces) for x in phase_bounces) if c > cap0]
+    if (not caps or caps[-1] != max_bounces) and max_bounces > cap0:
         caps = caps + [max_bounces]
     shrinks = list(phase_shrink) + [4] * (len(caps) - len(phase_shrink))
-    res, res_state, overflow = _run_compaction_phases(
-        scene, base_cfg_nochain(base_cfg), rows, caps, shrinks, flat, rngf,
-        orig, res, res_state, packet, interpret,
-    )
+    if caps:
+        res, res_state, overflow = _run_compaction_phases(
+            scene, base_cfg_nochain(base_cfg), rows, caps, shrinks, flat,
+            rngf, orig, res, res_state, packet, interpret,
+        )
+    else:
+        # max_bounces <= chain_cap: every parked path already traced its
+        # full bounce budget in-kernel — no resume phase exists, so commit
+        # the parked pool's final states directly (a resume capped at
+        # max_bounces would retire each lane immediately with identical
+        # state, but its capacity truncation could spuriously drop — and
+        # thus LOSE — parked samples; bitwise-identical without it)
+        res = res.at[:, orig].set(_result_stack(flat))
+        res_state = res_state.at[orig].set(rngf)
+        overflow = jnp.int32(0)
 
     def per_sweep(ch):
         return res[ch].reshape(S, N)[:, :N_req]

