@@ -60,9 +60,16 @@ def run_config(name, scene, W, H, spp, driver="mega"):
     import jax
 
     from hijiki_tpu.render.renderer import RenderConfig, Renderer
-    from hijiki_tpu.scene.compile import compile_scene
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
 
-    compiled = compile_scene(scene)
+    # device-convert ONCE so warm and timed Renderers share the same device
+    # buffers: Renderer's own scene_to_device is a no-op on jax arrays, and
+    # the warmup render commits the upload. Passing the host-side numpy
+    # CompiledScene to each Renderer instead would re-upload the whole trace
+    # table per instance — INSIDE the timed region (the transfer is lazy) —
+    # which for cfg4b's 151 MB PACKED4 table measured ~9 s/sweep of pure
+    # tunnel upload against a 0.72 s walk (round-3 probe_cfg4b).
+    compiled = scene_to_device(compile_scene(scene))
     cfg = RenderConfig(width=W, height=H, spp=spp, seed=1, driver=driver,
                        max_bounces=1000)
     r = Renderer(compiled, cfg)
