@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
         "profiler endpoint and the trace may hang — see docs/PERF_NOTES.md)",
     )
     p.add_argument(
+        "--trace-json",
+        default=None,
+        help="Write a Chrome-trace timeline of the driver loop (chunk "
+        "dispatches, film sync, overflow retries, checkpoint saves) to "
+        "this path; load in chrome://tracing or ui.perfetto.dev. Works "
+        "everywhere (host spans + device counters; utils/tracing.py)",
+    )
+    p.add_argument(
         "--devices",
         type=int,
         default=1,
@@ -251,6 +259,10 @@ def main(argv=None) -> int:
         renderer = Renderer(compiled, config)
 
     print("Starting to render...")
+    if args.trace_json:
+        from hijiki_tpu.utils.tracing import SpanTracer
+
+        renderer.tracer = SpanTracer()
     last_ckpt = [renderer.sweeps_done]
 
     def progress(done, total):
@@ -300,6 +312,9 @@ def main(argv=None) -> int:
                 f"Traversal: {metrics['rows_visited_last_sweep']:.0f} "
                 f"trace rows/sweep, {metrics['mrows_per_second']:.2f} Mrows/s"
             )
+    if args.trace_json and renderer.tracer is not None:
+        renderer.tracer.write(args.trace_json)
+        print(f"Trace: {args.trace_json}")
     if args.metrics_json:
         import json
 

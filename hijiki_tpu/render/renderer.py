@@ -523,11 +523,13 @@ def resolve_mega_packet(requested: int, sort_lanes: bool = False) -> int:
     return MEGA_PACKET_TPU
 
 
-def resolve_spec_resolve(requested: int) -> bool:
-    """Pipelined winner-resolve default: 0 = auto (off until an on-chip
-    A/B lands — tools/ab_resolve.py; the resolve loop is ~3% of iterations
-    in VMEM mode, §9g2, but the HBM variant overlaps the row DMA), 1 = on,
-    -1 = off. HIJIKI_SPEC_RESOLVE overrides the auto choice."""
+def resolve_spec_resolve(requested: int, table_hbm: bool = False) -> bool:
+    """Pipelined winner-resolve default: 0 = auto — ON for HBM-streamed
+    tables, OFF for VMEM-resident ones (on-chip A/B, tools/ab_resolve.py,
+    round 3: HBM PACKED4+G=2 1.028x — the early row-DMA start overlaps the
+    copy; VMEM cbox 0.989x — the resolve loop is only ~3% of iterations
+    there, §9g2, and the pipeline bookkeeping costs more than it hides).
+    1 = on, -1 = off. HIJIKI_SPEC_RESOLVE overrides the auto choice."""
     import os
 
     if requested:
@@ -535,7 +537,7 @@ def resolve_spec_resolve(requested: int) -> bool:
     env = os.environ.get("HIJIKI_SPEC_RESOLVE")
     if env:
         return int(env) > 0
-    return False
+    return table_hbm
 
 
 def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
@@ -635,6 +637,10 @@ class Renderer:
         self.film = jnp.zeros((config.height, config.width, 4), jnp.float32)
         self.sweeps_done = 0
         self.metrics: dict = {}
+        # optional host-span tracing (utils/tracing.SpanTracer; CLI
+        # --trace-json): per-chunk dispatch spans, film sync, overflow
+        # retries, checkpoint saves. None = allocation-free no-op.
+        self.tracer = None
 
     def _sweep_kwargs(self):
         c = self.config
@@ -659,7 +665,9 @@ class Renderer:
                 self._mega_table_hbm,
             ),
             mega_table_hbm=self._mega_table_hbm,
-            mega_spec_resolve=resolve_spec_resolve(c.spec_resolve),
+            mega_spec_resolve=resolve_spec_resolve(
+                c.spec_resolve, self._mega_table_hbm
+            ),
             mega_trunk=resolve_mega_trunk(
                 c.mega_trunk, self._mega_table_hbm, self.scene
             ),
@@ -673,6 +681,8 @@ class Renderer:
 
     def render(self, progress: Optional[Callable[[int, int], None]] = None):
         """Run the remaining sweeps (all of them unless resumed)."""
+        from hijiki_tpu.utils.tracing import maybe_span
+
         c = self.config
         kwargs = self._sweep_kwargs()
         start = time.monotonic()
@@ -740,9 +750,13 @@ class Renderer:
                         ]
                     )
                 )
-                delta, stats = _run_chunk(
-                    "chained", bs, offs, kwargs["phase_shrink"]
-                )
+                with maybe_span(
+                    self.tracer, "dispatch chained chunk",
+                    sweeps=f"{sweep}..{sweep + n_chunk - 1}",
+                ):
+                    delta, stats = _run_chunk(
+                        "chained", bs, offs, kwargs["phase_shrink"]
+                    )
                 self._last_stats = stats
                 chunk_records.append(("chained", bs, offs))
                 chunk_overflows.append(stats["wave_overflow"])
@@ -755,9 +769,12 @@ class Renderer:
                 # (PERF_NOTES §9l)
                 bs1 = jnp.asarray(np.asarray(sched.block_seeds, dtype=np.uint32))
                 off1 = jnp.asarray(sched.sample_offset)
-                delta, stats = _run_chunk(
-                    "sweep", bs1, off1, kwargs["phase_shrink"]
-                )
+                with maybe_span(
+                    self.tracer, "dispatch sweep", sweep=sweep
+                ):
+                    delta, stats = _run_chunk(
+                        "sweep", bs1, off1, kwargs["phase_shrink"]
+                    )
                 self._last_stats = stats
                 chunk_records.append(("sweep", bs1, off1))
                 chunk_overflows.append(stats["wave_overflow"])
@@ -787,7 +804,9 @@ class Renderer:
         # chunk); any dropped path triggers a full-capacity re-render of
         # this call's chunks with the recorded seeds — deterministic, so
         # the recomputed film is the exact unbiased estimate
-        overflow_seen = sum(int(o) for o in chunk_overflows)
+        with maybe_span(self.tracer, "overflow check (host sync)") as sp:
+            overflow_seen = sum(int(o) for o in chunk_overflows)
+            sp["overflow"] = overflow_seen
         if overflow_seen:
             import warnings
 
@@ -799,11 +818,15 @@ class Renderer:
             )
             film = film_start
             for kind, a, b in chunk_records:
-                delta, stats = _run_chunk(kind, a, b, (1,) * 8)
+                with maybe_span(
+                    self.tracer, "retry chunk (full capacity)", kind=kind
+                ):
+                    delta, stats = _run_chunk(kind, a, b, (1,) * 8)
                 self._last_stats = stats
                 film = film + delta
             self.film = film
-        self.film.block_until_ready()
+        with maybe_span(self.tracer, "film ready"):
+            self.film.block_until_ready()
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call: after a checkpoint resume the
         # loop starts at resume_start, and counting the full spp would inflate
@@ -846,6 +869,12 @@ class Renderer:
                 self.metrics["mrows_per_second"] = (
                     rows * c.spp / elapsed / 1e6 if elapsed > 0 else 0.0
                 )
+        if self.tracer is not None:
+            self.tracer.counter(
+                "throughput",
+                mrays_per_s=self.metrics["rays_per_second"] / 1e6,
+                spp_per_s=self.metrics["spp_per_second"],
+            )
         return self.metrics
 
     def _term_preview(self):
@@ -868,12 +897,15 @@ class Renderer:
     # --- checkpoint / resume (net-new vs the reference, SURVEY.md §5) ---
 
     def save_checkpoint(self, path: str) -> None:
-        np.savez(
-            path,
-            film=np.asarray(self.film),
-            sweeps_done=self.sweeps_done,
-            config=json.dumps(dataclasses.asdict(self.config)),
-        )
+        from hijiki_tpu.utils.tracing import maybe_span
+
+        with maybe_span(self.tracer, "checkpoint save", path=path):
+            np.savez(
+                path,
+                film=np.asarray(self.film),
+                sweeps_done=self.sweeps_done,
+                config=json.dumps(dataclasses.asdict(self.config)),
+            )
 
     @classmethod
     def resume_checkpoint(

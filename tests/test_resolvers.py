@@ -60,9 +60,12 @@ def test_resolve_spec_resolve(monkeypatch):
     from hijiki_tpu.render.renderer import resolve_spec_resolve
 
     monkeypatch.delenv("HIJIKI_SPEC_RESOLVE", raising=False)
-    assert resolve_spec_resolve(0) is False  # auto: off until measured
+    # auto: ON for HBM tables (1.028x, ab_resolve r3), OFF for VMEM (0.989x)
+    assert resolve_spec_resolve(0) is False
+    assert resolve_spec_resolve(0, table_hbm=True) is True
     assert resolve_spec_resolve(1) is True
     assert resolve_spec_resolve(-1) is False
+    assert resolve_spec_resolve(-1, table_hbm=True) is False
     monkeypatch.setenv("HIJIKI_SPEC_RESOLVE", "1")
     assert resolve_spec_resolve(0) is True
     assert resolve_spec_resolve(-1) is False  # explicit beats env

@@ -7,8 +7,12 @@ host gaps with one. Estimator-exact: per-sweep sums must match the
 separate launches (t-tie class at most).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_chain.py \
-           [W] [S] [cap1,cap2,...]
-"""
+           [W] [S] [cap1,cap2,...] [--scene=/path.obj] [--hbm] [--pl=N] [--groups=N]
+
+--hbm streams the trace table from HBM in both arms (the renderer's
+big-scene mode; chaining there was mechanically supported but unmeasured —
+resolve_chain_sweeps keeps auto off pending this A/B) and defaults groups
+to the HBM auto (G=2)."""
 
 import sys
 import time
@@ -40,16 +44,38 @@ G = MEGA_GROUPS_TPU
 
 
 def main():
-    W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    S = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    caps = (
-        [int(c) for c in sys.argv[3].split(",")] if len(sys.argv) > 3 else [16]
-    )
-    print(f"devices: {jax.devices()}, {W}x{H}, S={S}, P={P}, G={G}",
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    W = H = int(pos[0]) if len(pos) > 0 else 512
+    S = int(pos[1]) if len(pos) > 1 else 4
+    caps = [int(c) for c in pos[2].split(",")] if len(pos) > 2 else [16]
+    scene_path = "/root/reference/scenes/cbox/cbox.obj"
+    hbm = False
+    pl = 0
+    groups = None
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            scene_path = a.split("=", 1)[1]
+        elif a == "--hbm":
+            hbm = True
+        elif a.startswith("--pl="):
+            pl = int(a.split("=", 1)[1])
+        elif a.startswith("--groups="):
+            groups = int(a.split("=", 1)[1])
+    global G
+    if groups is not None:
+        G = groups
+    elif hbm:
+        G = 2  # the HBM auto (renderer.resolve_mega_groups)
+    print(f"devices: {jax.devices()}, {W}x{H}, S={S}, P={P}, G={G}, "
+          f"hbm={hbm}, pl={pl}, scene={scene_path}",
           file=sys.stderr)
-    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
-    scene.put_cbox_spheres()
-    cs = scene_to_device(compile_scene(scene))
+    scene = load_obj_scene(scene_path)
+    if scene_path.endswith("cbox.obj"):
+        scene.put_cbox_spheres()
+    cs = scene_to_device(compile_scene(scene, packed_leaf=pl))
+    print(f"tbl_rows={cs.mega_tbl_rows} packed={cs.mega_packed_static} "
+          f"bytes={np.asarray(cs.trace_rows_mega).nbytes / 1e6:.1f} MB",
+          file=sys.stderr)
 
     N = W * H
     rng = np.random.default_rng(0)
@@ -71,7 +97,7 @@ def main():
         for s in range(S):
             t, *_ = render_waves(
                 cs, pxs[s], pys[s], seeds[s], width=W, height=H,
-                max_bounces=1000, packet=P, groups=G,
+                max_bounces=1000, packet=P, groups=G, table_in_hbm=hbm,
             )
             tot += float(jnp.sum(t))
         return tot
@@ -79,7 +105,7 @@ def main():
     def run_chained(cap):
         out = render_waves_chained(
             cs, pxs, pys, seeds, width=W, height=H, max_bounces=1000,
-            chain_cap=cap, packet=P, groups=G,
+            chain_cap=cap, packet=P, groups=G, table_in_hbm=hbm,
         )
         return float(jnp.sum(out[0])), int(out[4])
 

@@ -37,6 +37,7 @@ def main():
     scene_path = "/tmp/bigcbox3.obj"
     formats = [0, 4]
     groups_list = [1, 2]
+    specs = [0]
     reps = 4
     side = 512
     for a in sys.argv[1:]:
@@ -46,6 +47,8 @@ def main():
             formats = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--groups="):
             groups_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--spec="):
+            specs = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
         elif a.startswith("--side="):
@@ -81,21 +84,21 @@ def main():
         )
     )
 
-    def run(cs, g):
+    def run(cs, g, sp):
         t, n, dep, st, ovf, bounces, rows, alb = render_waves(
             cs, px, py, seeds, width=W, height=H, max_bounces=1000, packet=P,
-            groups=g, spec=False, table_in_hbm=True,
+            groups=g, spec=bool(sp), table_in_hbm=True,
         )
         return float(jnp.sum(t)), float(jnp.sum(rows)) / (8.0 * P)
 
-    cells = [(pl, g) for pl in formats for g in groups_list]
+    cells = [(pl, g, sp) for pl in formats for g in groups_list for sp in specs]
     sums, iters = {}, {}
-    for pl, g in cells:
+    for pl, g, sp in cells:
         t0 = time.monotonic()
-        sums[(pl, g)], iters[(pl, g)] = run(compiled[pl], g)
+        sums[(pl, g, sp)], iters[(pl, g, sp)] = run(compiled[pl], g, sp)
         print(
-            f"warmup pl={pl} G={g}: {time.monotonic()-t0:.1f}s "
-            f"sum={sums[(pl, g)]:.2f} tile-iters={iters[(pl, g)]:.0f}",
+            f"warmup pl={pl} G={g} spec={sp}: {time.monotonic()-t0:.1f}s "
+            f"sum={sums[(pl, g, sp)]:.2f} tile-iters={iters[(pl, g, sp)]:.0f}",
             file=sys.stderr,
             flush=True,
         )
@@ -103,21 +106,21 @@ def main():
     times = {c: [] for c in cells}
     for rep in range(reps):
         for c in cells:
-            pl, g = c
+            pl, g, sp = c
             t0 = time.monotonic()
-            run(compiled[pl], g)
+            run(compiled[pl], g, sp)
             times[c].append(time.monotonic() - t0)
         print(f"rep {rep + 1}/{reps} done", file=sys.stderr, flush=True)
 
     base = min(times[cells[0]])
     rays = W * H
     for c in cells:
-        pl, g = c
+        pl, g, sp = c
         t = min(times[c])
         print(
-            f"pl={pl} G={g}: {t*1e3:8.1f} ms  {rays/t/1e6:6.3f} Mrays/s  "
-            f"image-sum={sums[c]:10.2f}  tile-iters={iters[c]:9.0f}  "
-            f"vs pl={cells[0][0]},G={cells[0][1]}: {base/t:.3f}x"
+            f"pl={pl} G={g} spec={sp}: {t*1e3:8.1f} ms  {rays/t/1e6:6.3f} "
+            f"Mrays/s  image-sum={sums[c]:10.2f}  tile-iters={iters[c]:9.0f}  "
+            f"vs {cells[0]}: {base/t:.3f}x"
         )
 
 

@@ -71,7 +71,7 @@ def main():
     log(
         f"packet={resolve_mega_packet(0)} "
         f"groups={resolve_mega_groups(0, resolve_mega_packet(0), r._mega_table_hbm)} "
-        f"spec={resolve_spec_resolve(0)} "
+        f"spec={resolve_spec_resolve(0, r._mega_table_hbm)} "
         f"trunk={resolve_mega_trunk(0, r._mega_table_hbm, r.scene)} "
         f"chain={resolve_chain_sweeps(cfg, r._mega_table_hbm)}"
     )

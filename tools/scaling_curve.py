@@ -1,0 +1,135 @@
+"""Multi-chip scaling curve on the virtual CPU mesh (VERDICT r2 item 4).
+
+Real multi-chip hardware is not reachable from this environment, so this
+measures the RELATIVE cost of the sharded render as the mesh grows on a
+virtual CPU mesh (xla_force_host_platform_device_count): all N virtual
+devices share one physical core, so with FIXED TOTAL WORK (strong scaling)
+the ideal wall-clock is FLAT as N grows — total traced rays are constant and
+the core serializes them. Any growth over the 1-device wall is the sharding
+overhead we would pay on a real mesh: psum film reduction, partial-film
+materialization per device, and block-padding waste (blocks round-robin over
+devices; the last shard pads with dummy blocks).
+
+For each N in 1,2,4,8 it renders the same frame with the XLA block-sharded
+topology (MultiChipRenderer), checks the film equals the single-device
+render (same seeds -> same estimate, psum reorders the sum), and prints
+wall, overhead vs N=1, and the padding share. Run it with:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      PYTHONPATH=/root/repo python tools/scaling_curve.py [--side 128] [--spp 2]
+
+The real-ICI story this approximates: the psum payload is the full-frame
+partial film (H*W*4 f32 per device pair), independent of N — on a v5e ring
+at ~100 GB/s ICI a 1024^2 film is ~0.2 ms/hop, <<1% of a ~0.5 s sweep, so
+near-linear scaling is expected from the collective side; this tool bounds
+the framework-side overhead (reduction + padding + dispatch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# must be set before jax init when run standalone
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    side, spp, reps = 128, 2, 3
+    for a in sys.argv[1:]:
+        if a.startswith("--side="):
+            side = int(a.split("=", 1)[1])
+        elif a.startswith("--spp="):
+            spp = int(a.split("=", 1)[1])
+        elif a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from hijiki_tpu.parallel.multichip import MultiChipRenderer
+    from hijiki_tpu.render.blocks import cdiv
+    from hijiki_tpu.render.renderer import RenderConfig, Renderer
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    assert len(jax.devices()) >= 8, jax.devices()
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+    compiled = scene_to_device(compile_scene(scene))
+    cfg = RenderConfig(
+        width=side, height=side, spp=spp, block_size=64, seed=7,
+        driver="wavefront", max_bounces=8,
+    )
+    # max_bounces pinned like tests/test_multichip.py: the equality gate is
+    # psum reduction-order noise, which the default 1000-bounce cap
+    # amplifies past rtol on a handful of pixels
+
+    ref = Renderer(compiled, cfg)
+    ref.render()
+    ref_film = np.asarray(ref.film)
+
+    blocks_total = cdiv(side, 64) * cdiv(side, 64)
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = MultiChipRenderer(compiled, cfg, num_devices=n)
+        t0 = time.monotonic()
+        r.render()
+        np.asarray(r.film)
+        warm = time.monotonic() - t0
+        best = None
+        for _ in range(reps):
+            r = MultiChipRenderer(compiled, cfg, num_devices=n)
+            t0 = time.monotonic()
+            r.render()
+            np.asarray(r.film)
+            best = min(best or 1e9, time.monotonic() - t0)
+        np.testing.assert_allclose(
+            np.asarray(r.film), ref_film, rtol=5e-4, atol=5e-5
+        )
+        pad = (cdiv(blocks_total, n) * n - blocks_total) / blocks_total
+        rows.append((n, best, warm, pad))
+        log(
+            f"N={n}: best {best:.2f}s (warm {warm:.2f}s), block padding "
+            f"{pad * 100:.0f}%, film == single-device (rtol 5e-4)"
+        )
+
+    base = rows[0][1]
+    out = {
+        "mode": "strong scaling, fixed total work, virtual CPU mesh "
+                "(shared core: flat wall = zero sharding overhead)",
+        "config": f"cbox+spheres {side}x{side} @ {spp} spp, wavefront, "
+                  f"block 64, best of {reps}",
+        "curve": [
+            {
+                "devices": n,
+                "wall_s": round(t, 3),
+                "overhead_vs_1dev": round(t / base - 1, 3),
+                "block_padding": round(p, 3),
+            }
+            for n, t, _, p in rows
+        ],
+        "film_equal": True,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
