@@ -122,7 +122,14 @@ def main():
     # 4: wavefront multi-bounce with compaction, 1024^2 (bench.py config)
     sc = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     sc.put_cbox_spheres()
-    rows.append(("4 wavefront 1024^2", *run_config("cfg4", sc, 1024, 1024, max(spp // 8, 1))))
+    # BASELINE config 4 names "per-material stream sort"; on this stack that
+    # is a measured dead end (intra-tile sorting inflates packet row unions,
+    # PERF_NOTES §9/§9u) — compaction is via phases/regeneration instead,
+    # and the row name says so to keep the recorded list self-explanatory.
+    rows.append((
+        "4 wavefront 1024^2 (compaction via phases; stream sort measured off)",
+        *run_config("cfg4", sc, 1024, 1024, max(spp // 8, 1)),
+    ))
 
     # 4b: genuine big scene (405k-tri subdivided cbox, 74 MB trace table) —
     # exercises the HBM-resident table streaming mode (PERF_NOTES §9h) on
