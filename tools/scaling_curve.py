@@ -138,7 +138,7 @@ def main():
     out = {
         "mode": desc,
         "config": f"cbox+spheres {side}x{side}-per-device @ {spp} spp, "
-                  f"wavefront, block 64, best of {reps}",
+                  f"sync driver, block 64, best of {reps}",
         "curve": [
             {
                 "devices": n,
