@@ -3149,13 +3149,19 @@ def render_waves_chained(
     )
     res_state = rngf
 
-    # clamp FIRST, then drop no-op caps (a phase_bounces entry clamped down
-    # to <= cap0 would otherwise survive the filter and run as a pure
-    # truncation pass)
-    caps = [c for c in (min(x, max_bounces) for x in phase_bounces) if c > cap0]
-    if (not caps or caps[-1] != max_bounces) and max_bounces > cap0:
-        caps = caps + [max_bounces]
-    shrinks = list(phase_shrink) + [4] * (len(caps) - len(phase_shrink))
+    # clamp FIRST, pair each cap with ITS shrink, then drop no-op caps
+    # (<= cap0, or <= an earlier cap) — same normalization as render_waves:
+    # a filtered-out entry must take its shrink with it, or every later
+    # phase runs at the wrong capacity; a non-monotonic resume cap is a
+    # pure truncation pass that can only (spuriously) drop parked samples
+    raw = [min(x, max_bounces) for x in phase_bounces] + [max_bounces]
+    shr = list(phase_shrink) + [4] * (len(raw) - len(phase_shrink))
+    kept = []
+    for c, s in zip(raw, shr):
+        if c > cap0 and (not kept or c > kept[-1][0]):
+            kept.append((c, s))
+    caps = [c for c, _ in kept]
+    shrinks = [s for _, s in kept]
     if caps:
         res, res_state, overflow = _run_compaction_phases(
             scene, base_cfg_nochain(base_cfg), rows, caps, shrinks, flat,

@@ -213,18 +213,23 @@ class MultiChipRenderer(Renderer):
     def render(self, progress=None):
         import time
 
+        from hijiki_tpu.utils.tracing import maybe_span
+
         c = self.config
         start = time.monotonic()
         resume_start = self.sweeps_done
         for sweep in range(self.sweeps_done, c.spp):
-            delta = self._sweep_delta(self.scheduler.sweep(sweep))
+            with maybe_span(self.tracer, "dispatch sweep (sharded blocks)",
+                            sweep=sweep, devices=self.n_dev):
+                delta = self._sweep_delta(self.scheduler.sweep(sweep))
             self.film = self.film + delta
             self.sweeps_done = sweep + 1
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
             if c.preview_interval and self.sweeps_done % c.preview_interval == 0:
                 self.save_png(c.preview_path)
-        self.film.block_until_ready()
+        with maybe_span(self.tracer, "film ready"):
+            self.film.block_until_ready()
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call (same rule as Renderer.render:
         # counting the full spp inflates rays/s after a checkpoint resume)
@@ -259,6 +264,7 @@ def make_sharded_mega_sweep(
     groups: int = 1,
     table_in_hbm: bool = False,
     trunk_rows: int = 0,
+    phase_shrink: tuple = (),
 ):
     """Sharded sweep for the Pallas megakernel driver.
 
@@ -300,6 +306,7 @@ def make_sharded_mega_sweep(
             groups=groups,
             table_in_hbm=table_in_hbm,
             trunk_rows=trunk_rows,
+            **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
         idx = jax.lax.axis_index(axis)
         row0 = idx * band
@@ -372,9 +379,8 @@ class MegaMultiChipRenderer(Renderer):
             resolve_mega_trunk,
         )
 
-        self._sweep_fn = make_sharded_mega_sweep(
-            self.mesh,
-            self.scene,
+        table_hbm = compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES
+        self._mega_sweep_kwargs = dict(
             width=c.width,
             height=c.height,
             block_size=c.block_size,
@@ -385,20 +391,28 @@ class MegaMultiChipRenderer(Renderer):
             groups=resolve_mega_groups(
                 getattr(c, "mega_groups", 0),
                 resolve_mega_packet(c.mega_packet),
-                compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
+                table_hbm,
             ),
-            table_in_hbm=compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
+            table_in_hbm=table_hbm,
             trunk_rows=resolve_mega_trunk(
-                getattr(c, "mega_trunk", 0),
-                compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES,
-                compiled,
+                getattr(c, "mega_trunk", 0), table_hbm, compiled
             ),
         )
+        self._sweep_fn = make_sharded_mega_sweep(
+            self.mesh,
+            self.scene,
+            phase_shrink=tuple(getattr(c, "phase_shrink", ()) or ()),
+            **self._mega_sweep_kwargs,
+        )
+        # full-capacity twin for the overflow==0 invariant (phase_shrink=1
+        # cannot drop paths); built lazily — it only compiles if a retry
+        # actually triggers
+        self._sweep_fn_full = None
 
-    def _sweep_delta(self, sched):
-        """One sweep's film delta (row-band mega sharding); stashes the
-        sweep's overflow counter on self._last_ovf (read lazily at the end
-        of render() — a per-sweep int() would force a device sync)."""
+    def _sweep_delta(self, sched, full_capacity=False):
+        """One sweep's film delta (row-band mega sharding). Returns
+        (delta, ovf) with the overflow counter left on device (a per-sweep
+        int() would force a device sync)."""
         from hijiki_tpu.render.blocks import per_pixel_seeds
 
         c = self.config
@@ -406,29 +420,69 @@ class MegaMultiChipRenderer(Renderer):
         yy, xx = np.mgrid[0:H, 0:W]
         seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
         off = sched.sample_offset
-        delta, ovf = self._sweep_fn(
+        fn = self._sweep_fn
+        if full_capacity:
+            if self._sweep_fn_full is None:
+                self._sweep_fn_full = make_sharded_mega_sweep(
+                    self.mesh,
+                    self.scene,
+                    phase_shrink=(1,) * 8,
+                    **self._mega_sweep_kwargs,
+                )
+            fn = self._sweep_fn_full
+        delta, ovf = fn(
             self.scene,
             jnp.asarray((xx + off[0]).ravel().astype(np.float32)),
             jnp.asarray((yy + off[1]).ravel().astype(np.float32)),
             jnp.asarray(seeds.reshape(-1)),
             jnp.asarray(off),
         )
-        self._last_ovf = ovf
-        return delta
+        return delta, ovf
 
     def render(self, progress=None):
         import time
 
+        from hijiki_tpu.utils.tracing import maybe_span
+
         c = self.config
         start = time.monotonic()
         resume_start = self.sweeps_done
+        film_start = self.film
+        scheds, ovfs = [], []
         for sweep in range(self.sweeps_done, c.spp):
-            delta = self._sweep_delta(self.scheduler.sweep(sweep))
+            sched = self.scheduler.sweep(sweep)
+            with maybe_span(self.tracer, "dispatch sweep (mega bands)",
+                            sweep=sweep, devices=self.n_dev):
+                delta, ovf = self._sweep_delta(sched)
+            scheds.append(sched)
+            ovfs.append(ovf)
             self.film = self.film + delta
             self.sweeps_done = sweep + 1
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
-        self.film.block_until_ready()
+        # overflow == 0 invariant, same contract as Renderer.render: one
+        # host transfer checks every sweep's counter; any dropped path
+        # triggers a full-capacity re-render of this call's sweeps with the
+        # same schedules — the film is always the unbiased estimate
+        with maybe_span(self.tracer, "overflow check (host sync)") as sp:
+            seen = int(jnp.sum(jnp.stack(ovfs))) if ovfs else 0
+            sp["overflow"] = seen
+        if seen:
+            import warnings
+
+            warnings.warn(
+                f"{seen} paths exceeded wavefront phase capacity; "
+                "re-rendering at full capacity (phase_shrink=1) with the "
+                "same seeds — film stays unbiased"
+            )
+            film = film_start
+            for sched in scheds:
+                with maybe_span(self.tracer, "retry sweep (full capacity)"):
+                    delta, _ = self._sweep_delta(sched, full_capacity=True)
+                film = film + delta
+            self.film = film
+        with maybe_span(self.tracer, "film ready"):
+            self.film.block_until_ready()
         elapsed = time.monotonic() - start
         # only the sweeps traced in THIS call (same rule as Renderer.render:
         # counting the full spp inflates rays/s after a checkpoint resume)
@@ -440,6 +494,7 @@ class MegaMultiChipRenderer(Renderer):
             rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
             spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
             devices=self.n_dev,
-            wave_overflow=int(self._last_ovf),
+            wave_overflow=0 if seen else (int(ovfs[-1]) if ovfs else 0),
+            overflow_retried=seen,
         )
         return self.metrics

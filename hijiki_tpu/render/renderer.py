@@ -693,14 +693,17 @@ class Renderer:
         sweep = self.sweeps_done
         # overflow == 0 is an INVARIANT, not a warning: record each chunk's
         # launch inputs and lazily accumulate its overflow counter; if any
-        # path was dropped by a phase-capacity truncation, the whole call's
+        # path was dropped by a phase-capacity truncation, the pending
         # chunks are re-rendered at full capacity (phase_shrink = 1, which
         # cannot overflow) with the SAME recorded seeds — the film is always
-        # the unbiased estimate. Checked once after the loop so the async
-        # dispatch pipeline is never host-synced per chunk.
-        film_start = self.film
-        chunk_records: list = []
-        chunk_overflows: list = []
+        # the unbiased estimate. Settled once after the loop (one host
+        # transfer; the async dispatch pipeline is never per-chunk synced)
+        # AND before any mid-render checkpoint save (save_checkpoint), so a
+        # checkpoint can never persist a biased film.
+        self._ovf_film_start = self.film
+        self._ovf_records: list = []
+        self._ovf_counters: list = []
+        self._ovf_retried_total = 0
 
         def _run_chunk(kind, a, b, ps):
             if kind == "chained":
@@ -726,6 +729,10 @@ class Renderer:
                 self.scene, a, b, seeds_from_blocks=True,
                 **{**kwargs, "phase_shrink": ps},
             )
+
+        # exposed so save_checkpoint (called from a progress callback
+        # mid-render) can settle pending overflow before persisting
+        self._ovf_run_chunk = _run_chunk
 
         while sweep < c.spp:
             n_chunk = min(chain, c.spp - sweep) if chain > 1 else 1
@@ -758,8 +765,8 @@ class Renderer:
                         "chained", bs, offs, kwargs["phase_shrink"]
                     )
                 self._last_stats = stats
-                chunk_records.append(("chained", bs, offs))
-                chunk_overflows.append(stats["wave_overflow"])
+                self._ovf_records.append(("chained", bs, offs))
+                self._ovf_counters.append(stats["wave_overflow"])
                 self.film = self.film + delta
             else:
                 sched = self.scheduler.sweep(sweep)
@@ -776,8 +783,8 @@ class Renderer:
                         "sweep", bs1, off1, kwargs["phase_shrink"]
                     )
                 self._last_stats = stats
-                chunk_records.append(("sweep", bs1, off1))
-                chunk_overflows.append(stats["wave_overflow"])
+                self._ovf_records.append(("sweep", bs1, off1))
+                self._ovf_counters.append(stats["wave_overflow"])
                 self.film = self.film + delta
             prev_done = sweep
             sweep += n_chunk
@@ -805,26 +812,10 @@ class Renderer:
         # this call's chunks with the recorded seeds — deterministic, so
         # the recomputed film is the exact unbiased estimate
         with maybe_span(self.tracer, "overflow check (host sync)") as sp:
-            overflow_seen = sum(int(o) for o in chunk_overflows)
-            sp["overflow"] = overflow_seen
-        if overflow_seen:
-            import warnings
-
-            warnings.warn(
-                f"{overflow_seen} paths exceeded wavefront phase capacity; "
-                "re-rendering at full capacity (phase_shrink=1) with the "
-                "same seeds — film stays unbiased, wall-clock roughly "
-                "doubles for this call"
-            )
-            film = film_start
-            for kind, a, b in chunk_records:
-                with maybe_span(
-                    self.tracer, "retry chunk (full capacity)", kind=kind
-                ):
-                    delta, stats = _run_chunk(kind, a, b, (1,) * 8)
-                self._last_stats = stats
-                film = film + delta
-            self.film = film
+            self._settle_overflow()
+            sp["overflow"] = self._ovf_retried_total
+        overflow_seen = self._ovf_retried_total
+        self._ovf_run_chunk = None
         with maybe_span(self.tracer, "film ready"):
             self.film.block_until_ready()
         elapsed = time.monotonic() - start
@@ -877,6 +868,48 @@ class Renderer:
             )
         return self.metrics
 
+    def _settle_overflow(self) -> int:
+        """Enforce the overflow==0 invariant on the pending chunks: ONE
+        host transfer sums their overflow counters (a per-counter int()
+        would pay one tunnel round-trip per chunk); if any path was
+        dropped, self.film is rebuilt from the recorded seeds at full
+        capacity (phase_shrink=1, which structurally cannot overflow).
+        Runs at the end of render() and before any mid-render checkpoint
+        save. Accumulates into self._ovf_retried_total and resets the
+        pending state so subsequent chunks settle independently."""
+        from hijiki_tpu.utils.tracing import maybe_span
+
+        counters = self._ovf_counters
+        if not counters:
+            return 0
+        if len(counters) > 1:
+            seen = int(jnp.sum(jnp.stack(counters)))
+        else:
+            seen = int(counters[0])
+        if seen:
+            import warnings
+
+            warnings.warn(
+                f"{seen} paths exceeded wavefront phase capacity; "
+                "re-rendering at full capacity (phase_shrink=1) with the "
+                "same seeds — film stays unbiased, wall-clock roughly "
+                "doubles for the affected chunks"
+            )
+            film = self._ovf_film_start
+            for kind, a, b in self._ovf_records:
+                with maybe_span(
+                    self.tracer, "retry chunk (full capacity)", kind=kind
+                ):
+                    delta, stats = self._ovf_run_chunk(kind, a, b, (1,) * 8)
+                self._last_stats = stats
+                film = film + delta
+            self.film = film
+            self._ovf_retried_total += seen
+        self._ovf_film_start = self.film
+        self._ovf_records = []
+        self._ovf_counters = []
+        return seen
+
     def _term_preview(self):
         if not hasattr(self, "_term_preview_obj"):
             from hijiki_tpu.utils.term_preview import TerminalPreview
@@ -899,6 +932,11 @@ class Renderer:
     def save_checkpoint(self, path: str) -> None:
         from hijiki_tpu.utils.tracing import maybe_span
 
+        # a checkpoint must never persist a biased film: settle any pending
+        # overflow (mid-render saves come from the progress callback while
+        # chunks are still being recorded) before reading the film back
+        if getattr(self, "_ovf_run_chunk", None) is not None:
+            self._settle_overflow()
         with maybe_span(self.tracer, "checkpoint save", path=path):
             np.savez(
                 path,

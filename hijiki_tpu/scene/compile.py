@@ -296,10 +296,6 @@ def build_trace_rows(
     return rows
 
 
-# Byte budget for the megakernel's VMEM-resident table set. 8 octant tables
-# multiply the table size; past this we fall back to a single table.
-OCTANT_TABLE_BUDGET_BYTES = 12 << 20
-
 # Largest table the megakernel can stage in VMEM (the renderer streams
 # bigger tables from HBM via the walker's DMA mode). Sized against the
 # measured scoped-VMEM high water on v5e: the chained walker's non-table
@@ -804,7 +800,11 @@ def compile_scene(
     mega_tbl_rows = 0  # 0 = derive as rows // ntab (unpacked, no pay section)
     mega_pay_rows = 0
 
-    def want_octants(base_rows: int, row_width: int = TRACE_ROW_WIDTH) -> bool:
+    def want_octants(
+        base_rows: int,
+        row_width: int = TRACE_ROW_WIDTH,
+        pay_rows: int = 0,
+    ) -> bool:
         if octant_tables == "never":
             return False
         if 8 * base_rows >= 2**24:
@@ -812,15 +812,17 @@ def compile_scene(
             return False
         if octant_tables == "always":
             return True
-        base = base_rows * row_width * 4
-        # 8 copies must fit BOTH budgets: the octant allowance AND the
-        # megakernel's VMEM staging limit (renderer.py aliases
-        # MEGA_VMEM_TABLE_BYTES as its HBM-streaming trigger). Gating on
-        # the octant budget alone would build 8-12 MiB octant sets that
-        # silently stream from HBM — where octants measured only +4% at
-        # 8x the footprint — turning VMEM-resident single-table scenes
-        # into HBM-streamed ones. Opt in with octant_tables='always'.
-        return 8 * base <= min(OCTANT_TABLE_BUDGET_BYTES, MEGA_VMEM_TABLE_BYTES)
+        # the FINAL table (8 walk copies + the shared slot-indexed payload
+        # section for packed formats) must fit the megakernel's VMEM
+        # staging limit — the renderer's HBM-streaming trigger is the total
+        # trace_rows_mega.nbytes (renderer.py aliases MEGA_VMEM_TABLE_BYTES).
+        # Gating on the walk section alone would build octant sets whose
+        # payload pushes the total over the limit and silently flips a
+        # VMEM-resident scene into HBM streaming — where octants measured
+        # only +4% at 8x the footprint (the round-2 bench regression's
+        # mechanism). Opt in with octant_tables='always'.
+        total = (8 * base_rows + pay_rows) * row_width * 4
+        return total <= MEGA_VMEM_TABLE_BYTES
 
     # analytic specialization: up to 8 analytic prims (spheres/quads) baked
     # as compile-time immediates, the walk table triangle-only. NA == 0
@@ -896,7 +898,7 @@ def compile_scene(
                     tri_bvh, *tri_prim_args, nper=nper
                 )
                 Rp = walk.shape[0]
-                if want_octants(Rp, width):
+                if want_octants(Rp, width, pay_rows=pay.shape[0]):
                     walk, pay = build_packed_octant_tables(
                         tri_bvh, tri_prim_args, nper=nper
                     )

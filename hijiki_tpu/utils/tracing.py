@@ -102,10 +102,11 @@ class SpanTracer:
     def write(self, path: str) -> None:
         """Write the trace; load in chrome://tracing or ui.perfetto.dev."""
         with self._lock:
-            doc = {
-                "traceEvents": self._events,
-                "displayTimeUnit": "ms",
-            }
+            # snapshot INSIDE the lock: json.dump iterates lazily, and a
+            # concurrent span ending mid-serialization would mutate the
+            # live list under it
+            events = list(self._events)
+        doc = {"traceEvents": events, "displayTimeUnit": "ms"}
         with open(path, "w") as f:
             json.dump(doc, f)
 

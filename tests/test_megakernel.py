@@ -549,6 +549,43 @@ def test_chained_overflow_counter_reports_drops(setup):
     assert int(ch[4]) > 0
 
 
+def test_chained_phase_normalization(setup):
+    """Phase caps are clamped, paired with THEIR shrinks, and non-monotonic
+    entries dropped: a resume cap at or below an earlier cap is a pure
+    truncation pass (it can only spuriously drop parked samples), and a
+    filtered-out cap must take its shrink entry with it or every later
+    phase runs at the wrong capacity (round-3 review finding)."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_waves_chained
+
+    cs, W, H, px, py, seeds = setup
+    pxs = jnp.stack([px, px])
+    pys = jnp.stack([py, py])
+    sds_ = jnp.stack([seeds, seeds + jnp.uint32(1)])
+
+    def run(**kw):
+        out = render_waves_chained(
+            cs, pxs, pys, sds_, width=W, height=H, max_bounces=40,
+            chain_cap=8, interpret=True, **kw,
+        )
+        return out
+
+    ref = run(phase_bounces=(48,))
+    # non-monotonic resume caps: (48, 24) — the 24-cap phase after the
+    # 48-cap phase is a no-op for every lane and must be dropped, not run
+    # as a truncation pass that drops parked samples
+    nonmono = run(phase_bounces=(48, 24))
+    assert int(nonmono[4]) == 0
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(nonmono[0]))
+    # cap<=chain_cap filtered out: its pathological shrink must go WITH it —
+    # if the pairing slipped, shrink 9999 would apply to the 48-cap phase
+    # and clamp it to the one-tile floor (overflow / dropped samples)
+    paired = run(phase_bounces=(4, 48), phase_shrink=(9999, 1))
+    assert int(paired[4]) == 0
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(paired[0]))
+
+
 def test_packed_leaf_rows_bitwise_identical():
     """Packed leaf rows (scene.compile.build_packed_trace_rows): at EQUAL
     tree shape (leaf_size=N unpacked vs packed_leaf=N), the in-row strict-

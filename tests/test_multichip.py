@@ -87,6 +87,36 @@ def test_mega_multichip_matches_single(cbox_small):
     )
 
 
+def test_mega_multichip_overflow_settle(cbox_small):
+    """The overflow==0 invariant holds on the sharded mega path too: a
+    pathological phase_shrink that drops parked paths triggers the
+    full-capacity re-render, and the settled film equals a run whose
+    capacities never overflowed (round-3 review finding: the multichip
+    renderer used to record the drop as a metric and keep the biased
+    film)."""
+    import warnings
+
+    from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer
+
+    # height 128 over 2 devices = 64-row bands (band must be a multiple of
+    # block_size, and block_size a multiple of 64)
+    base = dict(width=64, height=128, spp=2, block_size=64, seed=11,
+                driver="mega", max_bounces=24)
+    bad = RenderConfig(phase_shrink=(9999,), **base)
+    r = MegaMultiChipRenderer(cbox_small, bad, num_devices=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r.render()
+    good = RenderConfig(phase_shrink=(1,) * 8, **base)
+    r2 = MegaMultiChipRenderer(cbox_small, good, num_devices=2)
+    r2.render()
+    if r.metrics["overflow_retried"]:
+        assert any("re-rendering at full capacity" in str(x.message) for x in w)
+    assert r.metrics["wave_overflow"] == 0
+    assert r2.metrics["overflow_retried"] == 0
+    np.testing.assert_array_equal(np.asarray(r.film), np.asarray(r2.film))
+
+
 def test_multihost_sweep_sharding_matches_single(cbox_small):
     """Simulated multi-host run (explicit host ids): the merged film of N
     host-strided partial renders must equal the single render bitwise — the

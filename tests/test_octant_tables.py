@@ -118,3 +118,13 @@ def test_octant_gate_respects_vmem_staging_limit(cbox_scene):
         # single flatten: the 8-copy set would not have fit the staging limit
         assert cs.trace_rows_mega.nbytes * 8 > MEGA_VMEM_TABLE_BYTES
         assert cs.trace_rows_mega.nbytes <= MEGA_VMEM_TABLE_BYTES
+
+    # packed formats: the gate must count the shared slot-indexed PAYLOAD
+    # section too — the renderer's HBM trigger is the TOTAL nbytes, and a
+    # walk-only gate could build an octant set whose payload pushes the
+    # total over the limit (round-3 review finding). Whatever the gate
+    # decided, the resulting table must respect the staging limit.
+    for pl in (1, 4):
+        cp = compile_scene(scene, packed_leaf=pl)
+        if cp.mega_num_tables_static == 8:
+            assert cp.trace_rows_mega.nbytes <= MEGA_VMEM_TABLE_BYTES, pl

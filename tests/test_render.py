@@ -432,3 +432,38 @@ def test_overflow_retry_unbiased(cbox_small):
     assert r2.metrics["overflow_retried"] == 0
     assert r2.metrics["wave_overflow"] == 0
     np.testing.assert_array_equal(np.asarray(r.film), np.asarray(r2.film))
+
+
+def test_checkpoint_never_persists_biased_film(cbox_small, tmp_path):
+    """A mid-render checkpoint (progress callback, like the CLI's
+    --checkpoint-interval) settles pending overflow BEFORE persisting: the
+    saved film must equal a full-capacity render of the same sweeps, never
+    the dropped-path film (round-3 review finding: the retry used to run
+    only after the loop, so an early checkpoint could bake in the bias)."""
+    import warnings
+
+    path = str(tmp_path / "ck.npz")
+    bad = RenderConfig(width=64, height=64, spp=4, chain_sweeps=2,
+                       block_size=64, seed=11, driver="mega", max_bounces=16,
+                       mega_chain_cap=2, phase_shrink=(9999,))
+    r = Renderer(cbox_small, bad)
+    saved_at = []
+
+    def progress(done, total):
+        if done == 2 and not saved_at:
+            r.save_checkpoint(path)
+            saved_at.append(done)
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        r.render(progress=progress)
+    assert saved_at == [2]
+    assert r.metrics["overflow_retried"] > 0  # the config does overflow
+
+    ck = np.load(path, allow_pickle=True)
+    good = RenderConfig(width=64, height=64, spp=2, chain_sweeps=2,
+                        block_size=64, seed=11, driver="mega", max_bounces=16,
+                        mega_chain_cap=2, phase_shrink=(1,) * 8)
+    r2 = Renderer(cbox_small, good)
+    r2.render()
+    np.testing.assert_array_equal(ck["film"], np.asarray(r2.film))

@@ -289,6 +289,44 @@ def render_oracle(args):
 
     cam = cs.camera_static
     t_start = time.monotonic()
+    if getattr(args, "native", False):
+        # C++ twin (ops/oracle_native.py): same per-path semantics at
+        # ~15-25x the numpy rate (validated equal-seed in
+        # tests/test_oracle_native.py: MSE ~1e-14 at small configs, the
+        # only divergence class is libm-vs-numpy 1-ulp trig rounding).
+        # Batched sweeps between checkpoints.
+        from hijiki_tpu.ops.oracle_native import render_oracle_native
+
+        BATCH = 32
+        sweep = start_sweep
+        while sweep < spp:
+            n = min(BATCH, spp - sweep)
+            seeds_b, offs_b = [], []
+            for si in range(sweep, sweep + n):
+                s = sched.sweep(si)
+                seeds_b.append(
+                    np.asarray(per_pixel_seeds(W, H, 64, s.block_seeds)).reshape(-1)
+                )
+                offs_b.append(np.asarray(s.sample_offset, np.float32))
+            t0 = time.monotonic()
+            render_oracle_native(
+                cs, np.stack(seeds_b), np.stack(offs_b), W, H, acc=acc
+            )
+            sweep += n
+            np.savez(
+                args.out, acc=acc, sweeps=sweep, side=W, seed=args.seed,
+                spp_target=spp,
+            )
+            dt = time.monotonic() - t0
+            total = time.monotonic() - t_start
+            print(
+                f"sweeps {sweep}/{spp} (native): {dt:.1f}s for {n} "
+                f"({total / 60:.1f} min total, mean {acc.mean() / sweep:.4f})",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(f"done: {args.out}")
+        return
     for sweep in range(start_sweep, spp):
         s = sched.sweep(sweep)
         seeds = np.asarray(per_pixel_seeds(W, H, 64, s.block_seeds)).reshape(-1)
@@ -411,6 +449,8 @@ def main():
     o.add_argument("--side", type=int, default=64)
     o.add_argument("--seed", type=int, default=0)
     o.add_argument("--out", default=DEFAULT_OUT)
+    o.add_argument("--native", action="store_true",
+                   help="use the C++ oracle twin (ops/oracle_native)")
     o.set_defaults(fn=render_oracle)
     c = sub.add_parser("compare")
     c.add_argument("--oracle", default=DEFAULT_OUT)
