@@ -375,19 +375,36 @@ def render_drivers_radiance(side, seed, spp):
 
     acc_mega = np.zeros((H, W, 3), np.float64)
     acc_sync = np.zeros((H, W, 3), np.float64)
-    for sweep in range(spp):
-        s = sched.sweep(sweep)
-        seeds = np.asarray(per_pixel_seeds(W, H, 64, s.block_seeds)).reshape(-1)
-        offx, offy = s.sample_offset
-        px = jnp.asarray((x + offx).reshape(-1))
-        py = jnp.asarray((y + offy).reshape(-1))
-        sj = jnp.asarray(seeds)
+    # Batch B sweeps per launch: per-lane radiance is packet-composition-
+    # independent (bitwise — tests/test_megakernel.py estimator-purity), so
+    # stacking sweeps' (px, py, seeds) into one flat lane array is EXACT and
+    # turns 4096 tiny per-sweep dispatches (~5 s each through the tunnel)
+    # into ~64 full-size launches.
+    B = 16
+    sweep = 0
+    while sweep < spp:
+        n = min(B, spp - sweep)
+        pxs, pys, sds = [], [], []
+        for si in range(sweep, sweep + n):
+            s = sched.sweep(si)
+            seeds = np.asarray(
+                per_pixel_seeds(W, H, 64, s.block_seeds)
+            ).reshape(-1)
+            offx, offy = s.sample_offset
+            pxs.append((x + offx).reshape(-1))
+            pys.append((y + offy).reshape(-1))
+            sds.append(seeds)
+        px = jnp.asarray(np.concatenate(pxs))
+        py = jnp.asarray(np.concatenate(pys))
+        sj = jnp.asarray(np.concatenate(sds))
 
         t, _, _, _, _, _, _, _ = render_waves(
             cs, px, py, sj, width=W, height=H, max_bounces=1000,
-            interpret=not on_tpu, packet=128,
+            interpret=not on_tpu, packet=128 if not on_tpu else 1024,
         )
-        acc_mega += np.asarray(t, np.float64).reshape(H, W, 3)
+        acc_mega += (
+            np.asarray(t, np.float64).reshape(n, H, W, 3).sum(axis=0)
+        )
 
         pxy = jnp.stack([px, py], axis=-1)
         o, d, tmin, tmax = camera_rays(
@@ -395,8 +412,11 @@ def render_drivers_radiance(side, seed, spp):
             jnp.asarray([W, H], jnp.float32),
         )
         out = integrate(cs, o, d, tmin, tmax, seed_rng(sj), max_bounces=1000)
-        acc_sync += np.asarray(out.total, np.float64).reshape(H, W, 3)
-        print(f"drivers sweep {sweep + 1}/{spp}", file=sys.stderr, flush=True)
+        acc_sync += (
+            np.asarray(out.total, np.float64).reshape(n, H, W, 3).sum(axis=0)
+        )
+        sweep += n
+        print(f"drivers sweeps {sweep}/{spp}", file=sys.stderr, flush=True)
     return acc_mega / spp, acc_sync / spp
 
 
