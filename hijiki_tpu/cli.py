@@ -170,12 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.platform:
-
-        os.environ["JAX_PLATFORMS"] = args.platform
+    # --platform wins; otherwise honor an explicit JAX_PLATFORMS env var.
+    # The config-level update is required on this stack: the environment's
+    # sitecustomize registers the TPU backend and forces the platform at the
+    # jax.config level, so the env var alone is silently ignored (a bare
+    # `JAX_PLATFORMS=cpu python -m hijiki_tpu.cli ...` would still grab the
+    # real TPU).
+    plat = args.platform or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        os.environ["JAX_PLATFORMS"] = plat
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", plat)
 
     from hijiki_tpu.utils.tpuenv import configure_tpu_env
 

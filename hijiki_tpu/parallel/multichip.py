@@ -337,15 +337,20 @@ def make_sharded_mega_sweep(
         mesh=mesh,
         in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        # ON whenever the kernels compile (real TPU): out_shape declares vma
-        # via utils/vma.sds and the XLA glue is vma-clean. Interpret mode
-        # must skip the check: interpret-mode pallas_call re-traces the kernel
-        # body with jax ops and its while_loop carries lose their varying
-        # axes (inputs {V:d}, body outputs inferred replicated) — an upstream
-        # inference gap, not a sharding bug. The semantic property the check
-        # guards (per-device results equal the single-chip render) is pinned
-        # by tests/test_multichip.py's mega-vs-single equality test.
-        check_vma=not interpret,
+        # OFF for the mega path in BOTH modes: vma inference through
+        # pallas_call kernel traces is incomplete in this JAX version — the
+        # bounce loop's float carries enter `{V:d}` (reads of sharded state
+        # refs) but their body outputs come back replicated (values routed
+        # through the traversal's scratch/DMA ops lose the annotation), so
+        # `check_vma=True` kills the COMPILED trace at the resume-phase
+        # kernel's while_loop type check (reproduced at 1..8 devices; see
+        # tests/test_multichip.py::test_mega_sharded_compiled_trace). This
+        # is an upstream inference gap, not a sharding bug: the semantic
+        # property the check guards (per-device results equal the
+        # single-chip render) is pinned by the mega-vs-single equality
+        # test. The XLA block-sharded path (make_sharded_sweep) is
+        # vma-clean and keeps the check ON.
+        check_vma=False,
     )
     return jax.jit(fn)
 

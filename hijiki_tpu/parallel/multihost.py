@@ -177,13 +177,42 @@ class _HostStrideMixin:
         c = self.config
         start = time.monotonic()
         resume_start = self._done
+        film_start = self.film
+        scheds, ovfs = [], []
         for sweep in self.sweep_ids[self._done :]:
-            delta = self._sweep_delta(self._schedules[sweep])
+            sched = self._schedules[sweep]
+            out = self._sweep_delta(sched)
+            # the mega base returns (delta, overflow counter) so the
+            # overflow==0 invariant holds without a per-sweep device sync;
+            # the block-sharded base returns the bare delta
+            if isinstance(out, tuple):
+                delta, ovf = out
+                ovfs.append(ovf)
+            else:
+                delta = out
+            scheds.append(sched)
             self.film = self.film + delta
             self._done += 1
             self.sweeps_done = self._done
             if progress is not None:
                 progress(self._done, len(self.sweep_ids))
+        # overflow == 0 invariant (same contract as MultiChipMegaRenderer):
+        # any dropped path triggers a full-capacity re-render of this call's
+        # sweeps with the same schedules — the film stays unbiased
+        seen = int(jnp.sum(jnp.stack(ovfs))) if ovfs else 0
+        if seen:
+            import warnings
+
+            warnings.warn(
+                f"{seen} paths exceeded wavefront phase capacity; "
+                "re-rendering this host's sweeps at full capacity with the "
+                "same seeds — film stays unbiased"
+            )
+            film = film_start
+            for sched in scheds:
+                delta, _ = self._sweep_delta(sched, full_capacity=True)
+                film = film + delta
+            self.film = film
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
         traced = self._done - resume_start
@@ -197,6 +226,8 @@ class _HostStrideMixin:
             host_id=self.host_id,
             num_hosts=self.num_hosts,
             sweeps=len(self.sweep_ids),
+            wave_overflow=0,
+            overflow_retried=seen,
         )
         return self.metrics
 

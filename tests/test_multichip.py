@@ -232,3 +232,34 @@ def test_host_stride_times_chip_shard_matches_single(cbox_small, cls_name):
     # test_multichip_matches_single
     np.testing.assert_allclose(merged, np.asarray(ref.film),
                                rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ndev", [1, 2])
+def test_mega_sharded_compiled_trace(cbox_small, ndev):
+    """The COMPILED (non-interpret, real-TPU) sharded mega sweep must trace
+    to a jaxpr. Regression: with check_vma=True the resume-phase kernel's
+    bounce while_loop died at the carry type check — float carries enter
+    {V:d} (reads of sharded state refs) but body outputs come back
+    replicated because vma inference doesn't survive the traversal's
+    scratch/DMA ops (an upstream gap; make_sharded_mega_sweep documents the
+    check_vma=False decision). Tracing stops before Mosaic lowering, so this
+    pins the real-TPU multi-chip trace path on the CPU mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from hijiki_tpu.parallel.multichip import make_sharded_mega_sweep
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("d",))
+    scene = jax.device_put(cbox_small)
+    fn = make_sharded_mega_sweep(
+        mesh, scene, width=64, height=128, block_size=64,
+        max_bounces=8, stddev=0.5, interpret=False,
+    )
+    H, W = 128, 64
+    jax.jit(fn).trace(
+        scene,
+        jnp.zeros(H * W, jnp.float32),
+        jnp.zeros(H * W, jnp.float32),
+        jnp.zeros(H * W, jnp.uint32),
+        jnp.zeros(2, jnp.float32),
+    )
