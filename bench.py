@@ -112,7 +112,13 @@ def main():
 
     scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
     scene.put_cbox_spheres()
-    compiled = compile_scene(scene)
+    # device-resident ONCE: Renderer instances share these buffers (their own
+    # scene_to_device is a no-op on jax arrays), so the per-pass fresh
+    # Renderer below never re-uploads the scene inside the timed region
+    # (round-3 review finding; tools/bench_configs.py applies the same fix)
+    from hijiki_tpu.scene.compile import scene_to_device
+
+    compiled = scene_to_device(compile_scene(scene))
     log(
         f"scene: {compiled.num_prims} prims, {compiled.num_bvh_nodes} BVH nodes, "
         f"{compiled.trace_rows.shape[0]} trace rows"

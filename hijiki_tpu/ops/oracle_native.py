@@ -47,7 +47,10 @@ def load_library() -> Optional[ctypes.CDLL]:
     so = _so_path()
     try:
         if not os.path.exists(so):
-            tmp = so + ".tmp"
+            # pid-suffixed tmp so concurrent first-use builds (pytest workers,
+            # a tool + the suite) can't interleave writes to one tmp inode and
+            # publish a truncated .so; os.replace is atomic per builder
+            tmp = f"{so}.tmp.{os.getpid()}"
             subprocess.run(
                 [
                     "g++", "-O2", "-fno-fast-math", "-ffp-contract=off",

@@ -355,6 +355,40 @@ def make_sharded_mega_sweep(
     return jax.jit(fn)
 
 
+def settle_mega_overflow(renderer, scheds, ovfs, film_start, tracer=None):
+    """Enforce the overflow==0 invariant on a list of mega sweeps: ONE host
+    transfer sums the per-sweep overflow counters (a per-sweep int() would
+    pay one tunnel round-trip each); any dropped path triggers a
+    full-capacity re-render (phase_shrink=1, which structurally cannot
+    overflow) of ALL the recorded schedules from ``film_start`` — per-sweep
+    deltas are not retained, so the whole call re-renders, keeping the film
+    the unbiased estimate. Shared by MegaMultiChipRenderer.render and the
+    multihost _HostStrideMixin so the invariant cannot drift between the
+    sharded topologies (the single-device Renderer keeps its own settle:
+    it tracks heterogeneous chunk kinds and mid-render checkpoint saves).
+    Returns the number of dropped paths that were settled (0 = no retry)."""
+    from hijiki_tpu.utils.tracing import maybe_span
+
+    with maybe_span(tracer, "overflow check (host sync)") as sp:
+        seen = int(jnp.sum(jnp.stack(ovfs))) if ovfs else 0
+        sp["overflow"] = seen
+    if seen:
+        import warnings
+
+        warnings.warn(
+            f"{seen} paths exceeded wavefront phase capacity; "
+            "re-rendering at full capacity (phase_shrink=1) with the "
+            "same seeds — film stays unbiased"
+        )
+        film = film_start
+        for sched in scheds:
+            with maybe_span(tracer, "retry sweep (full capacity)"):
+                delta, _ = renderer._sweep_delta(sched, full_capacity=True)
+            film = film + delta
+        renderer.film = film
+    return seen
+
+
 class MegaMultiChipRenderer(Renderer):
     """Multi-chip renderer for the megakernel driver (row-band sharding)."""
 
@@ -465,27 +499,8 @@ class MegaMultiChipRenderer(Renderer):
             self.sweeps_done = sweep + 1
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
-        # overflow == 0 invariant, same contract as Renderer.render: one
-        # host transfer checks every sweep's counter; any dropped path
-        # triggers a full-capacity re-render of this call's sweeps with the
-        # same schedules — the film is always the unbiased estimate
-        with maybe_span(self.tracer, "overflow check (host sync)") as sp:
-            seen = int(jnp.sum(jnp.stack(ovfs))) if ovfs else 0
-            sp["overflow"] = seen
-        if seen:
-            import warnings
-
-            warnings.warn(
-                f"{seen} paths exceeded wavefront phase capacity; "
-                "re-rendering at full capacity (phase_shrink=1) with the "
-                "same seeds — film stays unbiased"
-            )
-            film = film_start
-            for sched in scheds:
-                with maybe_span(self.tracer, "retry sweep (full capacity)"):
-                    delta, _ = self._sweep_delta(sched, full_capacity=True)
-                film = film + delta
-            self.film = film
+        seen = settle_mega_overflow(self, scheds, ovfs, film_start,
+                                    tracer=self.tracer)
         with maybe_span(self.tracer, "film ready"):
             self.film.block_until_ready()
         elapsed = time.monotonic() - start
@@ -499,7 +514,9 @@ class MegaMultiChipRenderer(Renderer):
             rays_per_second=primary / elapsed if elapsed > 0 else 0.0,
             spp_per_second=sweeps_traced / elapsed if elapsed > 0 else 0.0,
             devices=self.n_dev,
-            wave_overflow=0 if seen else (int(ovfs[-1]) if ovfs else 0),
+            # seen == 0 means every per-sweep counter was 0 (they are
+            # non-negative), so this is always 0 — no extra device read
+            wave_overflow=0,
             overflow_retried=seen,
         )
         return self.metrics

@@ -196,23 +196,15 @@ class _HostStrideMixin:
             self.sweeps_done = self._done
             if progress is not None:
                 progress(self._done, len(self.sweep_ids))
-        # overflow == 0 invariant (same contract as MultiChipMegaRenderer):
-        # any dropped path triggers a full-capacity re-render of this call's
-        # sweeps with the same schedules — the film stays unbiased
-        seen = int(jnp.sum(jnp.stack(ovfs))) if ovfs else 0
-        if seen:
-            import warnings
+        # overflow == 0 invariant (shared helper — same contract as
+        # MegaMultiChipRenderer): any dropped path triggers a full-capacity
+        # re-render of this call's sweeps with the same schedules. ovfs is
+        # empty on the block-sharded base (its deltas cannot drop paths),
+        # making this a no-op there.
+        from hijiki_tpu.parallel.multichip import settle_mega_overflow
 
-            warnings.warn(
-                f"{seen} paths exceeded wavefront phase capacity; "
-                "re-rendering this host's sweeps at full capacity with the "
-                "same seeds — film stays unbiased"
-            )
-            film = film_start
-            for sched in scheds:
-                delta, _ = self._sweep_delta(sched, full_capacity=True)
-                film = film + delta
-            self.film = film
+        seen = settle_mega_overflow(self, scheds, ovfs, film_start,
+                                    tracer=getattr(self, "tracer", None))
         self.film.block_until_ready()
         elapsed = time.monotonic() - start
         traced = self._done - resume_start

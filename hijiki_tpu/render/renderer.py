@@ -891,9 +891,11 @@ class Renderer:
 
             warnings.warn(
                 f"{seen} paths exceeded wavefront phase capacity; "
-                "re-rendering at full capacity (phase_shrink=1) with the "
-                "same seeds — film stays unbiased, wall-clock roughly "
-                "doubles for the affected chunks"
+                "re-rendering ALL pending chunks at full capacity "
+                "(phase_shrink=1) with the same seeds — film stays "
+                "unbiased; per-chunk deltas are not retained, so every "
+                "chunk since the last settle re-renders, not just the "
+                "overflowed ones"
             )
             film = self._ovf_film_start
             for kind, a, b in self._ovf_records:

@@ -28,6 +28,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     try:
         import jax
 
+        # TPU-only: the cache exists for the 10-60s Mosaic/tunnel compiles.
+        # CPU compiles are fast, and XLA:CPU's AOT executable loader is the
+        # one that deserializes cached entries — it warns on machine-feature
+        # drift ("+prefer-no-scatter ... could lead to execution errors such
+        # as SIGILL") and has segfaulted the test suite mid-cache-read
+        # (round 3). A CLI --platform cpu run or the pytest suite (a CLI e2e
+        # test calls main(), which lands here) therefore runs uncached.
+        if jax.default_backend() != "tpu":
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

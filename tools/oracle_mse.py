@@ -285,6 +285,14 @@ def render_oracle(args):
         if int(ck["side"]) == W and int(ck["seed"]) == args.seed:
             acc = ck["acc"]
             start_sweep = int(ck["sweeps"])
+            # BlockScheduler.sweep() is call-order-stateful (the index is a
+            # label, not a stream position): replay the already-accumulated
+            # sweeps' schedules so the resumed run draws the TAIL schedules,
+            # not sweep 0's again (same replay as Renderer.resume_checkpoint;
+            # without it a resumed oracle silently double-counts the early
+            # sample sets and never traces the tail — round-3 review finding).
+            for _si in range(start_sweep):
+                sched.sweep(_si)
             print(f"resuming at sweep {start_sweep}", file=sys.stderr)
 
     cam = cs.camera_static

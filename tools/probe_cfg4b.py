@@ -30,9 +30,16 @@ def log(*a):
 
 def main():
     spp = 1
-    for a in sys.argv[1:]:
+    # accept --spp=N and --spp N; unknown args fail loudly (review finding)
+    argv = list(sys.argv[1:])
+    while argv:
+        a = argv.pop(0)
         if a.startswith("--spp="):
             spp = int(a.split("=", 1)[1])
+        elif a == "--spp" and argv:
+            spp = int(argv.pop(0))
+        else:
+            raise SystemExit(f"unknown arg {a} (only --spp N)")
 
     import jax
 

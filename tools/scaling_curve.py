@@ -51,16 +51,26 @@ def log(*a):
 
 def main():
     side, spp, reps, mode = 128, 2, 3, "strong"
-    for a in sys.argv[1:]:
-        if a.startswith("--side="):
-            side = int(a.split("=", 1)[1])
-        elif a.startswith("--spp="):
-            spp = int(a.split("=", 1)[1])
-        elif a.startswith("--reps="):
-            reps = int(a.split("=", 1)[1])
-        elif a.startswith("--mode="):
-            mode = a.split("=", 1)[1]
-            assert mode in ("strong", "weak"), mode
+    # accept --k=v and --k v; unknown args fail loudly instead of silently
+    # running at defaults (round-3 review finding)
+    argv = list(sys.argv[1:])
+    opts = {}
+    while argv:
+        a = argv.pop(0)
+        if "=" in a:
+            k, v = a.split("=", 1)
+        elif argv:
+            k, v = a, argv.pop(0)
+        else:
+            raise SystemExit(f"missing value for {a}")
+        if k not in ("--side", "--spp", "--reps", "--mode"):
+            raise SystemExit(f"unknown arg {k} (--side --spp --reps --mode)")
+        opts[k] = v
+    side = int(opts.get("--side", side))
+    spp = int(opts.get("--spp", spp))
+    reps = int(opts.get("--reps", reps))
+    mode = opts.get("--mode", mode)
+    assert mode in ("strong", "weak"), mode
 
     import jax
 
