@@ -559,9 +559,11 @@ def resolve_mega_groups(requested: int, packet: int, table_hbm: bool) -> int:
         # bigcbox, tools/ab_hbmgroups.py, PERF_NOTES §9z): G=2 1.183x,
         # G=4 1.029x vs single-cursor — two in-flight DMAs hide the copy,
         # four pay more slot overhead than their union shrinkage returns.
-        # Measured only at PACKED4 on a single-table scene; applying it to
-        # classic/PACKED12/octant HBM configs extrapolates the DMA-hiding
-        # rationale (HIJIKI_MEGA_GROUPS=1 opts out per run).
+        # Re-measured at 405k tris (tools/ab_hbm_matrix.py, BASELINE round
+        # 3): PACKED4 G=2 1.20x, classic-rows G=2 1.163x, G=4 0.887x — so
+        # the auto covers both measured row formats; only PACKED12/octant
+        # HBM configs extrapolate the DMA-hiding rationale
+        # (HIJIKI_MEGA_GROUPS=1 opts out per run).
         from hijiki_tpu.ops.pallas_megakernel import PACKET
 
         return 2 if packet % (2 * PACKET) == 0 else 1
