@@ -30,9 +30,23 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+def _cflags() -> list:
+    """Value-safe optimization flags. HIJIKI_ORACLE_CFLAGS appends extra
+    flags (e.g. "-O3 -march=native") — anything appended MUST stay
+    value-safe (no -ffast-math/-fassociative-math: the oracle's whole
+    point is bit-exact f32 semantics; -ffp-contract=off is always kept).
+    tools/check_oracle_flags.py bitwise-verifies a candidate flag set
+    against the default build before it is trusted."""
+    base = ["-O2", "-fno-fast-math", "-ffp-contract=off"]
+    extra = os.environ.get("HIJIKI_ORACLE_CFLAGS", "").split()
+    return base + extra
+
+
 def _so_path() -> str:
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        src = f.read()
+    key = src + b"\0" + " ".join(_cflags()).encode()
+    digest = hashlib.sha256(key).hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(), "hijiki_tpu_native")
     os.makedirs(cache, exist_ok=True)
     return os.path.join(cache, f"oracle_native_{digest}.so")
@@ -52,10 +66,7 @@ def load_library() -> Optional[ctypes.CDLL]:
             # publish a truncated .so; os.replace is atomic per builder
             tmp = f"{so}.tmp.{os.getpid()}"
             subprocess.run(
-                [
-                    "g++", "-O2", "-fno-fast-math", "-ffp-contract=off",
-                    "-shared", "-fPIC", "-o", tmp, _SRC,
-                ],
+                ["g++", *_cflags(), "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True,
                 capture_output=True,
             )
