@@ -37,9 +37,19 @@ def _cflags() -> list:
     point is bit-exact f32 semantics; -ffp-contract=off is always kept).
     tools/check_oracle_flags.py bitwise-verifies a candidate flag set
     against the default build before it is trusted."""
-    base = ["-O2", "-fno-fast-math", "-ffp-contract=off"]
     extra = os.environ.get("HIJIKI_ORACLE_CFLAGS", "").split()
-    return base + extra
+    # reject known value-unsafe flags outright (g++ last-wins semantics
+    # would otherwise let them override the safety flags), then append the
+    # safety flags AFTER the extras so they win any remaining conflict
+    unsafe = {"-ffast-math", "-funsafe-math-optimizations",
+              "-fassociative-math", "-freciprocal-math",
+              "-ffp-contract=fast", "-ffp-contract=on", "-Ofast"}
+    bad = [f for f in extra if f in unsafe]
+    if bad:
+        raise ValueError(
+            f"HIJIKI_ORACLE_CFLAGS contains value-unsafe flags {bad}; the "
+            "oracle requires bit-exact f32 semantics")
+    return ["-O2"] + extra + ["-fno-fast-math", "-ffp-contract=off"]
 
 
 def _so_path() -> str:

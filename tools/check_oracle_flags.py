@@ -54,7 +54,10 @@ def main():
     tb = render(args.candidate, "/tmp/oracle_flags_b.npz", args.spp)
     a = np.load("/tmp/oracle_flags_a.npz")["acc"]
     b = np.load("/tmp/oracle_flags_b.npz")["acc"]
-    same = bool(np.array_equal(a, b)) and a.dtype == b.dtype
+    # compare BIT patterns, not values: np.array_equal would pass a
+    # +0.0 vs -0.0 divergence (a real sign of changed FP codegen)
+    same = (a.dtype == b.dtype and a.shape == b.shape
+            and bool(np.array_equal(a.view(np.uint8), b.view(np.uint8))))
     print(f"bitwise_equal={same}  default={ta:.1f}s  candidate={tb:.1f}s  "
           f"speedup={ta / tb:.3f}x")
     if not same:
