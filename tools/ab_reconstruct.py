@@ -150,7 +150,49 @@ def reconstruct_old(color, normal, sample_offset, *, block_size, stddev=0.5):
 REPS = 6
 
 
+@functools.partial(jax.jit, static_argnames=("k", "strip"))
+def _chain_k(color, normal, so, *, k, strip=8):
+    """k reconstruction kernels in ONE dispatch (each consumes the previous
+    output, so XLA cannot elide any). Slope timing over k isolates the
+    in-stream kernel cost from the ~29 ms/dispatch tunnel RTT (PERF_NOTES
+    §9p) — the statistic the cfg5 BASELINE row needs (round-3 review: the
+    dispatch-bound end-to-end number drifted 2x with tunnel health and was
+    misread as a kernel regression)."""
+
+    def body(i, c):
+        out = reconstruct_pallas(c, normal, so, block_size=128, strip=strip)
+        return out[..., :3]
+
+    return jnp.sum(jax.lax.fori_loop(0, k, body, color))
+
+
+def instream(W=1024, H=1024, k_hi=17):
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.random((H, W, 3), np.float32))
+    normal = jnp.asarray(rng.random((H, W, 3), np.float32) * 2 - 1)
+    so = jnp.asarray(np.float32([0.37, 0.61]))
+    for k in (1, k_hi):  # compile both outside the timed region
+        float(_chain_k(color, normal, so, k=k))
+    t = {}
+    for _ in range(REPS):
+        for k in (1, k_hi):
+            t0 = time.monotonic()
+            float(_chain_k(color, normal, so, k=k))
+            t.setdefault(k, []).append(time.monotonic() - t0)
+    t1, tk = min(t[1]), min(t[k_hi])
+    per = (tk - t1) / (k_hi - 1)
+    print(
+        f"in-stream: k=1 {t1*1e3:.1f} ms, k={k_hi} {tk*1e3:.1f} ms -> "
+        f"{per*1e3:.2f} ms/kernel = {W*H/per/1e6:.1f} Mpix/s "
+        f"(dispatch floor {max(t1-per,0)*1e3:.1f} ms)"
+    )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "instream":
+        W = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+        instream(W, W)
+        return
     W = H = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     print(f"devices: {jax.devices()}, {W}x{H}", file=sys.stderr)
     rng = np.random.default_rng(0)
