@@ -61,7 +61,44 @@ def main():
     configure_tpu_env()
     from hijiki_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    # Count persistent-cache hits/misses so the JSON artifact can tell a
+    # cold-cache warmup (fresh container: all misses, ~100 s of compiles)
+    # from a wedged tunnel (hits but minutes of wall anyway) — round-3
+    # review "what's weak" #5. jax logs every lookup on jax._src.compiler.
+    import logging
+
+    cache_stats = {"hits": 0, "misses": 0}
+
+    class _CacheCounter(logging.Handler):
+        def emit(self, rec):
+            m = rec.getMessage()
+            if "compilation cache hit" in m.lower():
+                cache_stats["hits"] += 1
+            elif "COMPILATION CACHE MISS" in m:
+                cache_stats["misses"] += 1
+                # name the miss (stderr): a REPEATED miss for the same
+                # executable across back-to-back runs = unstable cache key
+                log(f"[cache] {m}")
+
+    _clog = logging.getLogger("jax._src.compiler")
+    _clog.setLevel(logging.DEBUG)
+    _clog.addHandler(_CacheCounter())
+    # keep the DEBUG stream out of stderr (the env's root handler would
+    # print every lookup); the counter handler above still sees them
+    _clog.propagate = False
+    # HIJIKI_BENCH_KEYLOG=<path>: dump per-component cache-key hashes
+    # (computation / XLA flags / compile_options / accelerator_config ...)
+    # so two runs can be diffed when a key is unstable (jax._src.cache_key
+    # logs each component at DEBUG)
+    keylog = os.environ.get("HIJIKI_BENCH_KEYLOG")
+    if keylog:
+        _klog = logging.getLogger("jax._src.cache_key")
+        _klog.setLevel(logging.DEBUG)
+        _kh = logging.FileHandler(keylog, mode="w")
+        _kh.setFormatter(logging.Formatter("%(message)s"))
+        _klog.addHandler(_kh)
+        _klog.propagate = False
     import jax
 
     from hijiki_tpu.render.renderer import RenderConfig, Renderer
@@ -136,7 +173,11 @@ def main():
     r.render()
     img = r.image()
     warmup_s = time.monotonic() - t0
-    log(f"warmup (incl. compile): {warmup_s:.1f}s, mean {img.mean():.4f}")
+    log(
+        f"warmup (incl. compile): {warmup_s:.1f}s, mean {img.mean():.4f} "
+        f"(compile cache: {cache_stats['hits']} hits / "
+        f"{cache_stats['misses']} misses, dir {cache_dir})"
+    )
 
     # wedge signature: a healthy compile+first-render via the tunnel is
     # ~30-60 s (cached compile: ~5-20 s). Far beyond that means the tunnel
@@ -212,6 +253,11 @@ def main():
                 "warmup_s": round(warmup_s, 1),
                 "timed_passes_s": [round(t, 2) for t in times],
                 "wedged_warmup": wedged,
+                "compile_cache": {
+                    "dir": cache_dir,
+                    "hits": cache_stats["hits"],
+                    "misses": cache_stats["misses"],
+                },
             }
         )
     )
