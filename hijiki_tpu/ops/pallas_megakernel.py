@@ -218,28 +218,36 @@ def _fetch_rows8(rows_ref, num_rows, cur):
     )
 
 
-def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, slot=0):
-    """Async-copy one (128-wide padded) trace row per packet from the
-    HBM-resident table into an (8, HBM_ROW_WIDTH) VMEM scratch slot. The
-    slice index must be a scalar extracted straight from a loop-carried
-    (8,1) cursor: vector index arithmetic feeding a DMA descriptor hits
-    Mosaic's unimplemented lane broadcast, and extraction from computed
-    selects hits invalid relayouts. Waits re-derive the same descriptors.
-    ``slot`` selects a group's 8-sublane region of a (G*8, W) scratch
-    (grouped HBM walker)."""
+def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, slot=0, height=1):
+    """Async-copy one (height, 128-wide padded) window of trace rows per
+    packet from the HBM-resident table into the VMEM scratch. The slice
+    index must be a scalar extracted straight from a loop-carried (8,1)
+    cursor: vector index arithmetic feeding a DMA descriptor hits Mosaic's
+    unimplemented lane broadcast. Waits re-derive the same descriptors.
+    ``slot`` selects a group's 8-sublane region of a (G*8*height, W)
+    scratch (grouped/window HBM walkers); sublane k's window occupies
+    scratch rows [(slot*8+k)*height, +height). ``height`` > 1 is the
+    window-DMA mode (PERF_NOTES §11): extra rows per descriptor are nearly
+    free (~429 ns/set at h=1 vs ~450 at h=2 measured), and every visit
+    that lands inside the window is served from scratch without a new
+    descriptor set."""
     for k in range(SUBLANES):
         pltpu.make_async_copy(
-            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
-            scratch.at[pl.ds(slot * SUBLANES + k, 1), :],
+            rows_ref.at[
+                pl.ds(jnp.minimum(cur[k, 0], num_rows - height), height), :
+            ],
+            scratch.at[pl.ds((slot * SUBLANES + k) * height, height), :],
             sems.at[slot * SUBLANES + k],
         ).start()
 
 
-def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, slot=0):
+def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, slot=0, height=1):
     for k in range(SUBLANES):
         pltpu.make_async_copy(
-            rows_ref.at[pl.ds(jnp.minimum(cur[k, 0], num_rows - 1), 1), :],
-            scratch.at[pl.ds(slot * SUBLANES + k, 1), :],
+            rows_ref.at[
+                pl.ds(jnp.minimum(cur[k, 0], num_rows - height), height), :
+            ],
+            scratch.at[pl.ds((slot * SUBLANES + k) * height, height), :],
             sems.at[slot * SUBLANES + k],
         ).wait()
 
@@ -272,6 +280,7 @@ def _with_hbm_bufs(cfg, fn, rows_ref=None):
         return
     G = cfg.get("groups", 1)
     K = cfg.get("trunk_rows", 0)
+    H = cfg.get("hbm_window", 1)  # rows per DMA descriptor (window walker)
 
     if K > 0:
         def inner(scr_a, sem_a, scr_r, sem_r, trunk, sem_t):
@@ -284,7 +293,7 @@ def _with_hbm_bufs(cfg, fn, rows_ref=None):
 
         pl.run_scoped(
             inner,
-            pltpu.VMEM((G * SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+            pltpu.VMEM((G * SUBLANES * H, HBM_ROW_WIDTH), jnp.float32),
             pltpu.SemaphoreType.DMA((G * SUBLANES,)),
             pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
             pltpu.SemaphoreType.DMA((SUBLANES,)),
@@ -298,7 +307,7 @@ def _with_hbm_bufs(cfg, fn, rows_ref=None):
 
     pl.run_scoped(
         inner,
-        pltpu.VMEM((G * SUBLANES, HBM_ROW_WIDTH), jnp.float32),
+        pltpu.VMEM((G * SUBLANES * H, HBM_ROW_WIDTH), jnp.float32),
         pltpu.SemaphoreType.DMA((G * SUBLANES,)),
         pltpu.VMEM((SUBLANES, HBM_ROW_WIDTH), jnp.float32),
         pltpu.SemaphoreType.DMA((SUBLANES,)),
@@ -1166,11 +1175,218 @@ def _traverse_hbm_grouped(rows_ref, tbl_rows, total_rows, analytic, base,
                             pipelined=spec_resolve)
 
 
+def _traverse_hbm_window(rows_ref, tbl_rows, total_rows, analytic, base,
+                         ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                         groups, hbm_bufs, height=2, group_octant=True,
+                         packed=None, spec_resolve=False):
+    """Window-DMA walk of an HBM-resident table: each sublane cursor's
+    descriptor copies ``height`` consecutive rows [cur, cur+h), and every
+    visit that lands inside the window is served from VMEM scratch without
+    a new descriptor set.
+
+    Motivation (PERF_NOTES §11): the grouped HBM walk's ~636 ns group-step
+    is ~2/3 DMA descriptor overhead (429 ns/set measured), while extra
+    window rows are nearly free (h=2 set: 450 ns). The threaded walk's
+    cursor is strictly increasing and its +1 step rate is ~0.5-0.65 on the
+    real cfg4b table (descend = cur+1, AND consecutive leaf rows exit to
+    cur+1), so an h-row window serves ~1.5-1.6 visits per descriptor set
+    (tools/sim_dma_window.py: h=2 rounds 0.61x/0.67x camera/bounce).
+
+    Body per group: wait the in-flight windows, then run ``height``
+    unrolled steps — step j's row data is the scratch window row j, and a
+    sublane participates in step j exactly when its running cursor sits at
+    window row j (per-sublane (8,1) masks; lanes whose next visit left the
+    window idle for the remaining steps) — then start the next window DMA
+    at the final cursors.
+
+    Exactness: per sublane-cursor the visited-row sequence and every
+    accept predicate are identical to the grouped single-row walk (step
+    masks only gate WHERE a row is read from); the any-hit early exit
+    tests the previous round's flags (same one-extra-iteration semantics
+    as _traverse_hbm_grouped). Images are bitwise-identical to the grouped
+    walker at the same G (tests/test_megakernel.py).
+    """
+    G = groups
+    h = height
+    P = ox.shape[1]
+    W = P // G
+    scr_a, sem_a = hbm_bufs[:2]  # (G*8*h, HBM_ROW_WIDTH) scratch
+
+    def split(a):
+        return [a[:, g * W : (g + 1) * W] for g in range(G)]
+
+    oxg, oyg, ozg = split(ox), split(oy), split(oz)
+    dxg, dyg, dzg = split(dx), split(dy), split(dz)
+    tming, tmaxg = split(tmin), split(tmax)
+    n_walk = packed[0] if packed is not None else total_rows
+    ntab = n_walk // tbl_rows
+    if group_octant and ntab > 1 and G > 1:
+        bases = [
+            _octant_base(tmaxg[g] >= 0, dxg[g], dyg[g], dzg[g],
+                         tbl_rows, ntab)
+            for g in range(G)
+        ]
+    else:
+        bases = [base] * G
+    ends = [b + tbl_rows for b in bases]
+    invg = [
+        (f32(1.0) / dxg[g], f32(1.0) / dyg[g], f32(1.0) / dzg[g])
+        for g in range(G)
+    ]
+    tog = [
+        (-oxg[g] * invg[g][0], -oyg[g] * invg[g][1], -ozg[g] * invg[g][2])
+        for g in range(G)
+    ]
+
+    def slab_vote(g, rows8, best_t, active_s):
+        inv_dx, inv_dy, inv_dz = invg[g]
+        tox, toy, toz = tog[g]
+        col = lambda j: jnp.broadcast_to(rows8[:, j : j + 1], (SUBLANES, W))
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        v1x, v1y, v1z = col(3), col(4), col(5)
+        is_prim_s = rows8[:, 9:10] >= f32(0.0)
+        ax = v0x * inv_dx + tox
+        bx = v1x * inv_dx + tox
+        ay = v0y * inv_dy + toy
+        by = v1y * inv_dy + toy
+        az = v0z * inv_dz + toz
+        bz = v1z * inv_dz + toz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+            jnp.minimum(az, bz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+            jnp.maximum(az, bz),
+        )
+        slab = (t0 < t1 + f32(M_EPS)) & (t0 < best_t) & (t1 > tming[g])
+        return jnp.any(slab & (active_s & ~is_prim_s), axis=1, keepdims=True)
+
+    def window_rows(g, j):
+        """(8,128) — scratch row j of every sublane window in group g
+        (static slices; sublane k's window is scratch rows
+        [(g*8+k)*h, +h))."""
+        return jnp.concatenate(
+            [
+                scr_a[(g * SUBLANES + k) * h + j : (g * SUBLANES + k) * h + j + 1, :]
+                for k in range(SUBLANES)
+            ],
+            axis=0,
+        )
+
+    def cond(c):
+        alive = c["g0"]["cur"] < ends[0]
+        for g in range(1, G):
+            alive = alive | (c[f"g{g}"]["cur"] < ends[g])
+        return jnp.any(alive)
+
+    def body(c):
+        out = {"nit": c["nit"] + f32(1.0)}
+        for g in range(G):
+            cg = c[f"g{g}"]
+            ng = dict(cg)
+            wb = cg["cur"]  # window base == cursor at round start
+            # the DMA clamps its source to total_rows - h; the scratch then
+            # holds table rows [fb, fb+h) — step matching must use fb, not
+            # wb, or a clamped window would serve mislabeled rows
+            fb = jnp.minimum(wb, total_rows - h)
+            active0 = wb < ends[g]
+            if not want_payload:
+                done_prev = jnp.all(
+                    (cg["hitf"] > 0) | (tmaxg[g] < 0), axis=1, keepdims=True
+                )
+                active0 = active0 & ~done_prev
+            _dma_rows8_wait(
+                rows_ref, total_rows, wb, scr_a, sem_a, slot=g, height=h
+            )
+            run = wb
+            for j in range(h):
+                rows8 = window_rows(g, j)
+                on = active0 & (run == fb + j)
+                nexit = rows8[:, 10:11].astype(jnp.int32)
+                is_prim_s = rows8[:, 9:10] >= f32(0.0)
+                if want_payload:
+                    best_t = ng["t"]
+                else:
+                    best_t = jnp.where(ng["hitf"] > 0, tming[g], tmaxg[g])
+                phit, pt, pu, pv, pslot = _prim_test(
+                    rows8, oxg[g], oyg[g], ozg[g], dxg[g], dyg[g], dzg[g],
+                    tming[g], best_t, analytic,
+                    packed=packed[2] if packed is not None else 0,
+                )
+                accept = (on & is_prim_s) & phit & (pt < best_t)
+                if want_payload:
+                    ng["t"] = jnp.where(accept, pt, ng["t"])
+                    ng["u"] = jnp.where(accept, pu, ng["u"])
+                    ng["v"] = jnp.where(accept, pv, ng["v"])
+                    if packed is not None:
+                        win = pslot.astype(jnp.int32)
+                    else:
+                        win = jnp.broadcast_to(run, (SUBLANES, W))
+                    ng["wrow"] = jnp.where(accept, win, ng["wrow"])
+                    bt_post = ng["t"]
+                else:
+                    ng["hitf"] = jnp.where(accept, f32(1.0), ng["hitf"])
+                    bt_post = jnp.where(ng["hitf"] > 0, tming[g], tmaxg[g])
+                descend = slab_vote(g, rows8, bt_post, on)
+                nxt = jnp.where(is_prim_s | ~descend, nexit, run + 1)
+                run = jnp.where(on, nxt, run)
+            cur_n = jnp.where(active0, run, wb)
+            if not want_payload:
+                cur_n = jnp.where(done_prev, ends[g], cur_n)
+            _dma_rows8(
+                rows_ref, total_rows, cur_n, scr_a, sem_a, slot=g, height=h
+            )
+            ng["cur"] = cur_n
+            out[f"g{g}"] = ng
+        return out
+
+    init = {"nit": jnp.zeros((SUBLANES, 1), f32)}
+    enc = packed[1] if packed is not None else total_rows
+    for g in range(G):
+        gi = dict(cur=bases[g])
+        if analytic is not None:
+            gi.update(_analytic_pretest(
+                analytic, enc, oxg[g], oyg[g], ozg[g],
+                dxg[g], dyg[g], dzg[g], tming[g], tmaxg[g], want_payload,
+            ))
+        elif want_payload:
+            gi["t"] = tmaxg[g]
+            gi["u"] = jnp.zeros((SUBLANES, W), f32)
+            gi["v"] = jnp.zeros((SUBLANES, W), f32)
+            gi["wrow"] = jnp.full((SUBLANES, W), enc, jnp.int32)
+        else:
+            gi["hitf"] = jnp.zeros((SUBLANES, W), f32)
+        _dma_rows8(
+            rows_ref, total_rows, bases[g], scr_a, sem_a, slot=g, height=h
+        )
+        init[f"g{g}"] = gi
+
+    final = jax.lax.while_loop(cond, body, init)
+    # drain the in-flight copies started by the last round (their windows
+    # are clamped/valid; the semaphores must not leak into the next walk)
+    for g in range(G):
+        _dma_rows8_wait(
+            rows_ref, total_rows, final[f"g{g}"]["cur"], scr_a, sem_a,
+            slot=g, height=h,
+        )
+    cat = lambda k: jnp.concatenate(
+        [final[f"g{g}"][k] for g in range(G)], axis=1
+    )
+    if not want_payload:
+        return dict(hitf=cat("hitf"), nit=final["nit"])
+    walk = dict(t=cat("t"), u=cat("u"), v=cat("v"), wrow=cat("wrow"),
+                nit=final["nit"])
+    return _resolve_winners(rows_ref, total_rows, analytic, walk,
+                            hbm_bufs=hbm_bufs, packed=packed,
+                            pipelined=spec_resolve)
+
+
 def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
               ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
               prefetch=False, hbm_bufs=None, spec=False, pred=None,
               groups=1, group_octant=True, packed=None, spec_resolve=False,
-              trunk_rows=0):
+              trunk_rows=0, hbm_window=1):
     """Packet walk of the trace-row table. Returns a dict of (8,128) arrays:
     t, hitf (1.0 = hit) [, u, v, kind, tag, midx, pay0..pay14].
 
@@ -1208,6 +1424,19 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
+        if hbm_window > 1:
+            if trunk_rows > 0:
+                raise ValueError(
+                    "hbm_window > 1 and trunk_rows > 0 are mutually "
+                    "exclusive (the window walker has no trunk phase)"
+                )
+            return _traverse_hbm_window(
+                rows_ref, tbl_rows, total_rows, analytic, base,
+                ox, oy, oz, dx, dy, dz, tmin, tmax, want_payload,
+                groups, hbm_bufs, height=hbm_window,
+                group_octant=group_octant, packed=packed,
+                spec_resolve=spec_resolve,
+            )
         if groups > 1 or (trunk_rows > 0 and len(hbm_bufs) > 4):
             return _traverse_hbm_grouped(
                 rows_ref, tbl_rows, total_rows, analytic, base,
@@ -1798,6 +2027,7 @@ def _bounce_loop(rows_ref, cfg, init):
     group_octant = cfg.get("group_octant", True)
     hbm_bufs = cfg.get("hbm_bufs")
     trunk_rows = cfg.get("trunk_rows", 0)
+    hbm_window = cfg.get("hbm_window", 1)
     max_bounces = cfg["max_bounces"]
     emitters = cfg["emitters"]
     mat_diffuse, mat_cb, mat_diel, mat_emissive = cfg["materials"]
@@ -1866,6 +2096,7 @@ def _bounce_loop(rows_ref, cfg, init):
             group_octant=group_octant,
             packed=packed,
             trunk_rows=trunk_rows,
+            hbm_window=hbm_window,
         )
         found = alive & (h["hitf"] > 0)
         t = h["t"]
@@ -2139,6 +2370,7 @@ def _bounce_loop(rows_ref, cfg, init):
                 group_octant=group_octant,
                 packed=packed,
                 trunk_rows=trunk_rows,
+                hbm_window=hbm_window,
             )
         unoccluded = sh["hitf"] == 0
 
@@ -2520,6 +2752,7 @@ def render_tiles(
     groups: int = 1,
     group_octant: bool = True,
     trunk_rows: int = 0,
+    hbm_window: int = 1,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
     depth(N,), state(N,)). N must be a multiple of 8*packet."""
@@ -2568,6 +2801,7 @@ def render_tiles(
         groups=groups,
         group_octant=group_octant,
         trunk_rows=trunk_rows,
+        hbm_window=hbm_window,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
@@ -2832,6 +3066,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         "groups",
         "group_octant",
         "trunk_rows",
+        "hbm_window",
         "shadow_vis",
     ),
 )
@@ -2859,6 +3094,7 @@ def render_waves(
     groups: int = 1,
     group_octant: bool = True,
     trunk_rows: int = 0,
+    hbm_window: int = 1,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -2931,6 +3167,7 @@ def render_waves(
         groups=groups,
         group_octant=group_octant,
         trunk_rows=trunk_rows,
+        hbm_window=hbm_window,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
@@ -3011,6 +3248,7 @@ def render_waves(
         "groups",
         "group_octant",
         "trunk_rows",
+        "hbm_window",
         "shadow_vis",
     ),
 )
@@ -3037,6 +3275,7 @@ def render_waves_chained(
     groups: int = 1,
     group_octant: bool = True,
     trunk_rows: int = 0,
+    hbm_window: int = 1,
 ):
     """Chained phased render: S sweep samples per pixel in ONE phase-0
     launch with in-kernel lane respawn (occupancy: a dead path's lane
@@ -3106,6 +3345,7 @@ def render_waves_chained(
         groups=groups,
         group_octant=group_octant,
         trunk_rows=trunk_rows,
+        hbm_window=hbm_window,
         chain=S,
     )
     if table_in_hbm:

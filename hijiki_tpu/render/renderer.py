@@ -93,6 +93,12 @@ class RenderConfig:
     # rows (clamped to the walk section). Outputs are bitwise-equal either
     # way (tests/test_megakernel.py).
     mega_trunk: int = 0
+    # h-row window DMA for HBM-streamed trace tables (each sublane
+    # descriptor copies h consecutive rows; in-window visits are served
+    # from scratch — PERF_NOTES §11): 0 = auto (resolve_mega_window),
+    # 1 = off, h > 1 = window height. Outputs are bitwise-equal either way
+    # (tests/test_megakernel.py).
+    mega_window: int = 0
     # chained-launch in-kernel bounce cap before a path parks into the
     # compaction phases (render_waves_chained chain_cap): 0 = kernel
     # default (8, measured). Estimator-exact for any value.
@@ -126,6 +132,7 @@ class RenderConfig:
         "mega_table_hbm",
         "mega_spec_resolve",
         "mega_trunk",
+        "mega_window",
         "phase_shrink",
         "seeds_from_blocks",
         "interpret",
@@ -154,6 +161,7 @@ def render_sweep(
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
+    mega_window: int = 1,
     phase_shrink: tuple = (),
     seeds_from_blocks: bool = False,
     # run the Pallas kernels (megakernel + reconstruction) in interpret
@@ -201,6 +209,7 @@ def render_sweep(
             table_in_hbm=mega_table_hbm,
             spec_resolve=mega_spec_resolve,
             trunk_rows=mega_trunk,
+            hbm_window=mega_window,
             interpret=interpret,
             **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
@@ -321,6 +330,7 @@ MEGA_TRUNK_BYTES = 12 << 20
         "mega_groups",
         "mega_spec_resolve",
         "mega_trunk",
+        "mega_window",
         "phase_shrink",
         "interpret",
         "mega_table_hbm",
@@ -342,6 +352,7 @@ def render_sweeps_chained(
     mega_table_hbm: bool = False,
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
+    mega_window: int = 1,
     phase_shrink: tuple = (),
     interpret: bool = False,
 ):
@@ -386,6 +397,7 @@ def render_sweeps_chained(
         table_in_hbm=mega_table_hbm,
         spec_resolve=mega_spec_resolve,
         trunk_rows=mega_trunk,
+        hbm_window=mega_window,
         interpret=interpret,
         **({"phase_shrink": phase_shrink} if phase_shrink else {}),
     )
@@ -606,6 +618,26 @@ def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
     return 0
 
 
+def resolve_mega_window(requested: int, table_hbm: bool) -> int:
+    """h-row window DMA height for HBM-streamed walks
+    (ops/pallas_megakernel._traverse_hbm_window). 0 = auto: OFF (1) until
+    the on-chip A/B lands — the probe-priced estimate is ~1.1-1.2x on the
+    405k-tri cfg4b scene (PERF_NOTES §11, tools/sim_dma_window.py), inside
+    the build-and-measure band. 1 = single-row descriptors (the grouped
+    walker), h > 1 = window height. HIJIKI_MEGA_WINDOW overrides.
+    Estimator-exact for any h (bitwise tests in tests/test_megakernel.py)."""
+    import os
+
+    if not table_hbm:
+        return 1
+    if requested:
+        return max(requested, 1)
+    env = os.environ.get("HIJIKI_MEGA_WINDOW")
+    if env:
+        return max(int(env), 1)
+    return 1
+
+
 class Renderer:
     """Progressive sweep renderer over a compiled scene (reference driver
     loop: src/main.rs:1284-1492 — block scheduling, film accumulation,
@@ -673,6 +705,9 @@ class Renderer:
             mega_trunk=resolve_mega_trunk(
                 c.mega_trunk, self._mega_table_hbm, self.scene
             ),
+            mega_window=resolve_mega_window(
+                c.mega_window, self._mega_table_hbm
+            ),
             phase_shrink=tuple(c.phase_shrink or ()),
             # Pallas kernels need interpret mode off-TPU (bench.py's
             # on_tpu test); the mega driver is then driveable anywhere
@@ -724,6 +759,7 @@ class Renderer:
                     mega_table_hbm=self._mega_table_hbm,
                     mega_spec_resolve=kwargs["mega_spec_resolve"],
                     mega_trunk=kwargs["mega_trunk"],
+                    mega_window=kwargs["mega_window"],
                     phase_shrink=ps,
                     interpret=kwargs["interpret"],
                 )

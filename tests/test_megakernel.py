@@ -933,3 +933,44 @@ def test_resolve_mega_trunk():
         assert resolve_mega_trunk(0, True, S(100, ntab=8)) == 0
     finally:
         del os.environ["HIJIKI_MEGA_TRUNK"]
+
+def test_hbm_window_bitwise():
+    """The h-row window DMA walker (ops/pallas_megakernel.
+    _traverse_hbm_window) serves in-window visits from scratch instead of
+    issuing a new descriptor set per visit — a pure fetch-source change:
+    per sublane-cursor the visited-row sequence and every accept predicate
+    are identical to the single-row walk (PERF_NOTES §11). Images must be
+    BITWISE identical to the window-less HBM walker across window heights,
+    groupings, and row formats."""
+    import jax.numpy as jnp
+
+    from hijiki_tpu.ops.pallas_megakernel import render_tiles
+    from hijiki_tpu.scene.compile import compile_scene, scene_to_device
+    from hijiki_tpu.scene.obj import load_obj_scene
+
+    scene = load_obj_scene("/root/reference/scenes/cbox/cbox.obj")
+    scene.put_cbox_spheres()
+
+    W, H = 64, 32
+    N = W * H
+    y, x = np.mgrid[0:H, 0:W]
+    px = jnp.asarray((x + 0.37).ravel().astype(np.float32))
+    py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
+    seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
+
+    for pl_ in (0, 4):
+        cs = scene_to_device(
+            compile_scene(scene, packed_leaf=pl_, octant_tables="never")
+        )
+        for win, shape_kw in ((2, {}), (4, {}), (2, dict(groups=2, packet=256))):
+            base = render_tiles(cs, px, py, seeds, width=W, height=H,
+                                max_bounces=12, interpret=True,
+                                spec=False, table_in_hbm=True, **shape_kw)
+            out = render_tiles(cs, px, py, seeds, width=W, height=H,
+                               max_bounces=12, interpret=True,
+                               spec=False, table_in_hbm=True,
+                               hbm_window=win, **shape_kw)
+            for a, b in zip(base[:3], out[:3]):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    pl_, win, shape_kw,
+                )

@@ -62,11 +62,50 @@ def _timed(f, *args):
     return min(once() for _ in range(5))
 
 
-def slope(make, lo=100_000, hi=300_000, **kw):
-    """ns/iter via two trip counts (cancels launch + prologue)."""
-    t_lo = _timed(make(lo, **kw)[0], *make(lo, **kw)[1])
-    t_hi = _timed(make(hi, **kw)[0], *make(hi, **kw)[1])
-    return (t_hi - t_lo) / (hi - lo) * 1e9
+# Two-phase execution: tunnel compiles run ~1-3 min per kernel and don't
+# need an idle host, while the timings themselves are milliseconds and DO
+# (PERF_NOTES §8b). Probes therefore REGISTER (label, fn, args, lo, hi)
+# rows; main() compiles everything first (background CPU load fine), then
+# pauses the process named by $ORACLE_PID (SIGSTOP) for the short timing
+# phase and resumes it after.
+_PENDING = []
+
+
+def slope(make, lo=100_000, hi=300_000, label="", report=None, **kw):
+    f_lo, args_lo = make(lo, **kw)
+    f_hi, args_hi = make(hi, **kw)
+    _PENDING.append((label, f_lo, args_lo, f_hi, args_hi, lo, hi, report))
+
+
+def _run_pending():
+    import os
+    import signal
+
+    for label, f_lo, args_lo, f_hi, args_hi, lo, hi, report in _PENDING:
+        print(f"compiling {label} ...", file=sys.stderr, flush=True)
+        _timed_once(f_lo, *args_lo)
+        _timed_once(f_hi, *args_hi)
+    pid = os.environ.get("ORACLE_PID")
+    if pid:
+        os.kill(int(pid), signal.SIGSTOP)
+        print(f"paused pid {pid} for timing", file=sys.stderr, flush=True)
+    try:
+        for label, f_lo, args_lo, f_hi, args_hi, lo, hi, report in _PENDING:
+            t_lo = _timed(f_lo, *args_lo)
+            t_hi = _timed(f_hi, *args_hi)
+            ns = (t_hi - t_lo) / (hi - lo) * 1e9
+            print(report(ns) if report else f"{label}: {ns:7.1f} ns/iter",
+                  flush=True)
+    finally:
+        if pid:
+            os.kill(int(pid), signal.SIGCONT)
+            print(f"resumed pid {pid}", file=sys.stderr, flush=True)
+    _PENDING.clear()
+
+
+def _timed_once(f, *args):
+    r = f(*args)
+    float(jnp.sum(r))
 
 
 # ---------------------------------------------------------------------------
@@ -96,11 +135,12 @@ def make_alu(iters, k_ops=16, width=1024):
 
 def probe_alu():
     for k in (8, 16, 32):
-        ns = slope(make_alu, k_ops=k)
-        print(
-            f"alu   dependent chain k={k:2d}: {ns:7.1f} ns/iter  "
-            f"{ns / k:.2f} ns/op latency",
-            flush=True,
+        slope(
+            make_alu, k_ops=k, label=f"alu k={k}",
+            report=lambda ns, k=k: (
+                f"alu   dependent chain k={k:2d}: {ns:7.1f} ns/iter  "
+                f"{ns / k:.2f} ns/op latency"
+            ),
         )
 
 
@@ -137,9 +177,12 @@ def make_vote(iters, width=1024):
 
 def probe_vote():
     for w in (128, 256, 512, 1024):
-        ns = slope(make_vote, width=w)
-        print(f"vote  W={w:4d}: {ns:7.1f} ns/iter (bcast+mul+cmp+any chain)",
-              flush=True)
+        slope(
+            make_vote, width=w, label=f"vote W={w}",
+            report=lambda ns, w=w: (
+                f"vote  W={w:4d}: {ns:7.1f} ns/iter (bcast+mul+cmp+any chain)"
+            ),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -199,11 +242,13 @@ def make_fetch(iters, mode="indep", rows=4096, ncols=128, height=1):
 
 def probe_fetch():
     for mode, height in (("indep", 1), ("indep", 2), ("chase", 1)):
-        ns = slope(make_fetch, lo=50_000, hi=150_000, mode=mode, height=height)
-        print(
-            f"fetch mode={mode:5s} h={height}: {ns:7.1f} ns/iter "
-            f"(8 slices of ({height},128))",
-            flush=True,
+        slope(
+            make_fetch, lo=50_000, hi=150_000, mode=mode, height=height,
+            label=f"fetch {mode} h={height}",
+            report=lambda ns, mode=mode, height=height: (
+                f"fetch mode={mode:5s} h={height}: {ns:7.1f} ns/iter "
+                f"(8 slices of ({height},128))"
+            ),
         )
 
 
@@ -348,21 +393,25 @@ def make_dma(iters, mode="indep", rows=65536, ncols=128, height=1):
 
 def probe_dma():
     for mode, height in (("indep", 1), ("indep", 2), ("indep", 4), ("chase", 1)):
-        ns = slope(make_dma, lo=20_000, hi=60_000, mode=mode, height=height)
-        print(
-            f"dma   mode={mode:5s} h={height}: {ns:7.1f} ns/iter "
-            f"(8 HBM->VMEM copies of ({height},128), start+wait)",
-            flush=True,
+        slope(
+            make_dma, lo=20_000, hi=60_000, mode=mode, height=height,
+            label=f"dma {mode} h={height}",
+            report=lambda ns, mode=mode, height=height: (
+                f"dma   mode={mode:5s} h={height}: {ns:7.1f} ns/iter "
+                f"(8 HBM->VMEM copies of ({height},128), start+wait)"
+            ),
         )
 
 
 def probe_chain():
     for w in (256, 1024):
-        ns = slope(make_chain, lo=50_000, hi=150_000, width=w)
-        print(
-            f"chain W={w:4d}: {ns:7.1f} ns/iter "
-            "(fetch->slab->vote->select recurrence, no prim test)",
-            flush=True,
+        slope(
+            make_chain, lo=50_000, hi=150_000, width=w,
+            label=f"chain W={w}",
+            report=lambda ns, w=w: (
+                f"chain W={w:4d}: {ns:7.1f} ns/iter "
+                "(fetch->slab->vote->select recurrence, no prim test)"
+            ),
         )
 
 
@@ -379,6 +428,7 @@ def main():
         probe_dma()
     if which in ("chain", "all"):
         probe_chain()
+    _run_pending()
 
 
 if __name__ == "__main__":
