@@ -1330,6 +1330,21 @@ def _traverse_hbm_window(rows_ref, tbl_rows, total_rows, analytic, base,
                     bt_post = jnp.where(ng["hitf"] > 0, tming[g], tmaxg[g])
                 descend = slab_vote(g, rows8, bt_post, on)
                 nxt = jnp.where(is_prim_s | ~descend, nexit, run + 1)
+                # walk-invariant clamp: a valid threaded table always has
+                # exit > cur, so max() is an identity on real data — but it
+                # is LOAD-BEARING on hardware: without it the crash config
+                # (405k-tri table, P>=512, h=2) kills the TPU worker with a
+                # kernel fault, and with it the same config completes with
+                # the exact h=1 image sum (round-4 repro series). The
+                # working theory is a transient early/mismatched window
+                # read whose garbage exit column would otherwise drive the
+                # cursor backward (unbounded walk) or negative (bad DMA
+                # address); the clamp bounds the cursor to strictly
+                # increasing, which also bounds every derived DMA index to
+                # [wb+1, total_rows - h]. Estimator-exactness is enforced
+                # by tests (bitwise vs the h=1 walker in interpret mode)
+                # and was verified on hardware at the former crash config.
+                nxt = jnp.maximum(nxt, run + 1)
                 run = jnp.where(on, nxt, run)
             cur_n = jnp.where(active0, run, wb)
             if not want_payload:
