@@ -10,6 +10,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -172,8 +173,38 @@ def main():
     np.asarray(out)
     dt = (time.monotonic() - t0) / reps
     mpix = W * H / dt / 1e6
-    log(f"cfg5: reconstruction {dt*1000:.1f} ms/sweep @1024^2 = {mpix:.1f} Mpix/s")
-    rows.append(("5 bilateral reconstruction 1024^2", mpix, dt, 0.0))
+    log(f"cfg5: reconstruction {dt*1000:.1f} ms/sweep @1024^2 = {mpix:.1f} Mpix/s"
+        " (dispatch-bound through the tunnel; see in-stream row)")
+    rows.append(("5 bilateral reconstruction 1024^2 (per-dispatch)", mpix, dt, 0.0))
+
+    # 5b: the KERNEL statistic — k chained kernels in one dispatch; the
+    # slope over k cancels the ~25-29 ms tunnel RTT that dominates the row
+    # above (round-4: 0.49 ms/kernel = 2120 Mpix/s vs 11 Mpix/s end-to-end;
+    # the round-2/3 cfg5 'regression' was RTT drift, not the kernel —
+    # tools/ab_reconstruct.py instream, PERF_NOTES §8)
+    import jax
+
+    @partial(jax.jit, static_argnames=("k",))
+    def _chain_k(color, normal, so, *, k):
+        def body(i, c):
+            return reconstruct_pallas(
+                c, normal, so, block_size=128, stddev=0.5
+            )[..., :3]
+        return jnp.sum(jax.lax.fori_loop(0, k, body, color))
+
+    for k in (1, 9):
+        float(_chain_k(total, normal, off, k=k))
+    t = {1: [], 9: []}
+    for _ in range(5):
+        for k in (1, 9):
+            t0 = time.monotonic()
+            float(_chain_k(total, normal, off, k=k))
+            t[k].append(time.monotonic() - t0)
+    per = (min(t[9]) - min(t[1])) / 8
+    mpix_k = W * H / per / 1e6
+    log(f"cfg5 in-stream: {per*1000:.2f} ms/kernel = {mpix_k:.0f} Mpix/s")
+    rows.append(("5b bilateral reconstruction 1024^2 (in-stream kernel)",
+                 mpix_k, per, 0.0))
 
     print("| config | Mrays/s (cfg5: Mpix/s) | seconds | image mean |")
     print("|---|---|---|---|")
