@@ -134,6 +134,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(bitwise-equal outputs); 0 = auto, -1 = off, N = first N rows",
     )
     p.add_argument(
+        "--mega-window",
+        type=int,
+        default=0,
+        help="h-row window DMA for HBM-streamed trace tables "
+        "(bitwise-equal outputs; measured slower than single-row "
+        "descriptors on the 405k-tri benchmark scene — PERF_NOTES §11b); "
+        "0 = auto (off), 1 = off, h > 1 = window height",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -233,6 +242,7 @@ def main(argv=None) -> int:
         chain_sweeps=args.chain_sweeps,
         spec_resolve=args.spec_resolve,
         mega_trunk=args.mega_trunk,
+        mega_window=args.mega_window,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":
