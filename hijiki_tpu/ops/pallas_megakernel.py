@@ -232,9 +232,16 @@ def _dma_rows8(rows_ref, num_rows, cur, scratch, sems, slot=0, height=1):
     that lands inside the window is served from scratch without a new
     descriptor set."""
     for k in range(SUBLANES):
+        # max(0, ...): a table with fewer rows than the window height must
+        # not produce a negative slice start (the walker also caps h at the
+        # table size, so the window itself stays in bounds)
         pltpu.make_async_copy(
             rows_ref.at[
-                pl.ds(jnp.minimum(cur[k, 0], num_rows - height), height), :
+                pl.ds(
+                    jnp.maximum(jnp.minimum(cur[k, 0], num_rows - height), 0),
+                    height,
+                ),
+                :,
             ],
             scratch.at[pl.ds((slot * SUBLANES + k) * height, height), :],
             sems.at[slot * SUBLANES + k],
@@ -245,7 +252,11 @@ def _dma_rows8_wait(rows_ref, num_rows, cur, scratch, sems, slot=0, height=1):
     for k in range(SUBLANES):
         pltpu.make_async_copy(
             rows_ref.at[
-                pl.ds(jnp.minimum(cur[k, 0], num_rows - height), height), :
+                pl.ds(
+                    jnp.maximum(jnp.minimum(cur[k, 0], num_rows - height), 0),
+                    height,
+                ),
+                :,
             ],
             scratch.at[pl.ds((slot * SUBLANES + k) * height, height), :],
             sems.at[slot * SUBLANES + k],
@@ -1302,7 +1313,14 @@ def _traverse_hbm_window(rows_ref, tbl_rows, total_rows, analytic, base,
             run = wb
             for j in range(h):
                 rows8 = window_rows(g, j)
-                on = active0 & (run == fb + j)
+                # per-step end-of-table bound: a cursor that finishes
+                # mid-window (the last walk row's exit == ends[g]) must not
+                # match a later step whose window row sits at/past ends[g]
+                # — for packed formats those are payload rows whose col 9
+                # holds arbitrary shading floats, and _prim_test over
+                # payload garbage could spuriously accept a hit (round-4
+                # advisor finding; boundary case in test_hbm_window_bitwise)
+                on = active0 & (run == fb + j) & (run < ends[g])
                 nexit = rows8[:, 10:11].astype(jnp.int32)
                 is_prim_s = rows8[:, 9:10] >= f32(0.0)
                 if want_payload:
@@ -1439,6 +1457,10 @@ def _traverse(rows_ref, tbl_rows, total_rows, analytic, base,
         )
     if hbm_bufs is not None:
         pred = None  # the pretest fetch path is VMEM-only
+        # a window taller than the table would make every DMA slice
+        # [0, h) overrun the ref (tiny scene + --mega-window); cap it —
+        # the scratch allocated for the uncapped height is simply underused
+        hbm_window = min(hbm_window, total_rows)
         if hbm_window > 1:
             if trunk_rows > 0:
                 raise ValueError(
@@ -2721,6 +2743,13 @@ def _camera_init(px, py, seed, cfg):
 
 
 def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+    # cap the DMA window height at the table size BEFORE scratch allocation
+    # (a window taller than the table would make every [0, h) slice overrun
+    # the ref, and the h=1 fallback walker reads the whole scratch); tiny
+    # scenes with --mega-window collapse to single-row descriptors
+    if cfg.get("hbm") and cfg.get("hbm_window", 1) > cfg["total_rows"]:
+        cfg = dict(cfg, hbm_window=max(1, cfg["total_rows"]))
+
     def go(cfg):
         _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, cfg)
 

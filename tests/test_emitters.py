@@ -5,6 +5,9 @@ fallback for emitter counts beyond the unroll limit."""
 import numpy as np
 import pytest
 
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
+
 
 def _scene_with(emitter_kind):
     from hijiki_tpu.scene.model import (

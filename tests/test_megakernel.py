@@ -24,6 +24,7 @@ def setup():
     return cs, W, H, px, py, seeds
 
 
+@pytest.mark.quick
 def test_megakernel_matches_integrator(setup):
     import jax.numpy as jnp
 
@@ -958,9 +959,19 @@ def test_hbm_window_bitwise():
     py = jnp.asarray((y + 0.61).ravel().astype(np.float32))
     seeds = jnp.asarray((np.arange(N) * 2654435761 % (1 << 32)).astype(np.uint32))
 
-    for pl_ in (0, 4):
+    # octant table sets put the NEXT flattening's walk rows (real,
+    # intersectable geometry) directly after each table's end, and packed
+    # formats put payload rows (arbitrary shading floats in the prim/exit
+    # columns) after the walk section — both are the non-benign
+    # at-or-past-ends[g] neighborhoods the per-step bound must mask
+    # (round-4 advisor finding: a cursor finishing mid-window must not
+    # serve rows past its table end to later unrolled steps)
+    # (4, "always") covers BOTH non-benign neighborhoods at once: payload
+    # rows after the table set AND the next flattening's walk rows at each
+    # in-set table seam
+    for pl_, octants in ((0, "never"), (4, "never"), (4, "always")):
         cs = scene_to_device(
-            compile_scene(scene, packed_leaf=pl_, octant_tables="never")
+            compile_scene(scene, packed_leaf=pl_, octant_tables=octants)
         )
         for win, shape_kw in ((2, {}), (4, {}), (2, dict(groups=2, packet=256))):
             base = render_tiles(cs, px, py, seeds, width=W, height=H,
@@ -972,5 +983,5 @@ def test_hbm_window_bitwise():
                                hbm_window=win, **shape_kw)
             for a, b in zip(base[:3], out[:3]):
                 assert np.array_equal(np.asarray(a), np.asarray(b)), (
-                    pl_, win, shape_kw,
+                    pl_, octants, win, shape_kw,
                 )

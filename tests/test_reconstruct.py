@@ -5,6 +5,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from hijiki_tpu.render.reconstruct import normalize_film, reconstruct_sweep
+import pytest
+
+
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
 
 F = np.float32
 

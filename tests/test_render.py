@@ -32,6 +32,7 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.quick
 def test_e2e_cbox(cbox_small, tmp_path):
     r = Renderer(cbox_small, _cfg())
     metrics = r.render()
@@ -51,6 +52,7 @@ def test_e2e_cbox(cbox_small, tmp_path):
     np.testing.assert_array_equal(read_exr(str(tmp_path / "out.exr")), img)
 
 
+@pytest.mark.quick
 def test_deterministic(cbox_small):
     r1 = Renderer(cbox_small, _cfg())
     r1.render()

@@ -10,6 +10,9 @@ from hijiki_tpu.render.renderer import (
     resolve_mega_packet,
 )
 
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
+
 
 def test_chain_chunk_divides_spp():
     # multiples of the chain use it unchanged

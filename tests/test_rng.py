@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from hijiki_tpu.ops import rng
+import pytest
+
+
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
 
 
 def scalar_wang(seed: int) -> int:

@@ -14,6 +14,12 @@ from hijiki_tpu.scene.model import (
 )
 
 
+import pytest
+
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
+
+
 def test_cbox_materials(cbox_scene):
     # MTL order: floor, light, porcelain, wall_blue, wall_gray, wall_red
     mats = cbox_scene.materials

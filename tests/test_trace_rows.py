@@ -13,6 +13,9 @@ from hijiki_tpu.ops.intersect import (
 )
 from hijiki_tpu.scene.compile import compile_scene, scene_to_device
 
+# fast per-commit gate tier (README: python -m pytest tests -m quick)
+pytestmark = pytest.mark.quick
+
 
 def _rays(rng, n):
     o = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
