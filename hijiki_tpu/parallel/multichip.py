@@ -125,11 +125,27 @@ def trace_blocks(
 
 
 def make_sharded_sweep(mesh: Mesh, scene: CompiledScene, **kwargs):
-    """Build the jitted sharded sweep function for a mesh."""
+    """Build the jitted sharded sweep function for a mesh.
+
+    Film reduction is a banded ``psum_scatter`` over rows whenever the
+    height divides the device count (round-4 verdict #2a): each device ends
+    the sweep OWNING the fully-reduced band of rows it is responsible for,
+    so the per-hop ICI payload is O(frame/N) instead of the full-frame
+    O(frame) an all-reduce ships, and the film stays row-sharded on device
+    across sweep accumulation — it is gathered once, at host readback
+    (np.asarray in save/checkpoint). Falls back to the full psum for odd
+    heights (the result is identical either way; sample accumulation is
+    associative addition)."""
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    banded = kwargs["height"] % ndev == 0
 
     def per_device(scene_, origins, dims, seeds, sample_offset):
         delta = trace_blocks(scene_, origins, dims, seeds, sample_offset, **kwargs)
+        if banded:
+            return jax.lax.psum_scatter(
+                delta, axis, scatter_dimension=0, tiled=True
+            )
         return jax.lax.psum(delta, axis)
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
@@ -137,7 +153,7 @@ def make_sharded_sweep(mesh: Mesh, scene: CompiledScene, **kwargs):
         per_device,
         mesh=mesh,
         in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
+        out_specs=P(axis) if banded else P(),
         # check_vma stays ON: loop-carry inits are vma-promoted where they
         # mix with per-shard data (utils/vma.py match_vma at every loop site)
     )
@@ -271,9 +287,22 @@ def make_sharded_mega_sweep(
     Pixels shard as contiguous row bands (one per device, band height must be
     a multiple of 8 and of the block size's divisors so reconstruction blocks
     don't straddle shards); each device path-traces its band with
-    ``render_waves``, reconstructs into a full-size partial (rgb*w, w) film
-    (the bilateral filter only reads within a block, so partials are exact,
-    see trace_blocks), and partials are psum-reduced over ICI.
+    ``render_waves`` and reconstructs its band on a one-block-extended,
+    block-aligned canvas. The bilateral filter splats each sample into a
+    ±R halo around its reconstruction block, so a band's samples contribute
+    to at most R rows beyond the band — and those cross-band contributions
+    are exactly the reference's "spill" class, whose center features are
+    zeroed BY RULE (reconstruction.glsl block-splat quirk), so computing
+    them against the zero-padded extension is bit-exact. The two R-row edge
+    strips are exchanged with the neighboring devices via ``ppermute`` and
+    added into the band edges; the film then needs no full-frame collective
+    at all (round-4 verdict #2a): ``out_specs=P(axis)`` stitches the bands
+    into the row-sharded (H,W,4) film, sweep accumulation stays sharded on
+    device, and the film is gathered once, at host readback. ICI traffic
+    per device per sweep drops from O(frame) (the previous full-frame
+    partial psum) to O(R*width) halo strips; the per-device reconstruction
+    drops from a mostly-zero full frame to band + 2 blocks. Only the
+    scalar overflow counter is still all-reduced.
     """
     import jax.numpy as jnp
 
@@ -308,35 +337,51 @@ def make_sharded_mega_sweep(
             trunk_rows=trunk_rows,
             **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
-        idx = jax.lax.axis_index(axis)
-        row0 = idx * band
-        f32 = jnp.float32
-        color = jax.lax.dynamic_update_slice(
-            jnp.zeros((height, width, 3), f32), t.reshape(band, width, 3), (row0, 0, 0)
-        )
-        normal = jax.lax.dynamic_update_slice(
-            jnp.zeros((height, width, 3), f32), n.reshape(band, width, 3), (row0, 0, 0)
-        )
-        wmask = jax.lax.dynamic_update_slice(
-            jnp.zeros((height, width), f32), jnp.ones((band, width), f32), (row0, 0)
-        )
-        delta = reconstruct_pallas(
-            color,
-            normal,
+        from hijiki_tpu.render.pallas_reconstruct import R as RADIUS
+
+        B = block_size
+        pad_rows = ((B, B), (0, 0), (0, 0))
+        ext = reconstruct_pallas(
+            jnp.pad(t.reshape(band, width, 3), pad_rows),
+            jnp.pad(n.reshape(band, width, 3), pad_rows),
             sample_offset,
-            sample_weight=wmask,
-            block_size=block_size,
+            # the extension holds no samples: zero weight there, or the
+            # default all-ones mask would splat phantom weight into the
+            # band edges
+            sample_weight=jnp.pad(
+                jnp.ones((band, width), jnp.float32), pad_rows[:2]
+            ),
+            block_size=B,
             stddev=stddev,
             interpret=interpret,
-        )
-        return jax.lax.psum(delta, axis), jax.lax.psum(ovf, axis)
+        )  # (band + 2B, width, 4); nonzero only in [B-R, B+band+R)
+        own = ext[B : B + band]
+        up_strip = ext[B - RADIUS : B]  # spill above the band -> device idx-1
+        dn_strip = ext[B + band : B + band + RADIUS]  # spill below -> idx+1
+        if ndev > 1:
+            recv_from_above = jax.lax.ppermute(
+                dn_strip, axis, [(i, i + 1) for i in range(ndev - 1)]
+            )
+            recv_from_below = jax.lax.ppermute(
+                up_strip, axis, [(i, i - 1) for i in range(1, ndev)]
+            )
+            own = jnp.concatenate(
+                [own[:RADIUS] + recv_from_above, own[RADIUS:]], axis=0
+            )
+            own = jnp.concatenate(
+                [own[: band - RADIUS], own[band - RADIUS :] + recv_from_below],
+                axis=0,
+            )
+        # devices 0 / N-1 drop their outer strips — exactly the reference's
+        # image-boundary clipping (in_img) of the full-frame filter
+        return own, jax.lax.psum(ovf, axis)
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(axis), P()),
         # OFF for the mega path in BOTH modes: vma inference through
         # pallas_call kernel traces is incomplete in this JAX version — the
         # bounce loop's float carries enter `{V:d}` (reads of sharded state

@@ -50,7 +50,7 @@ def log(*a):
 
 
 def main():
-    side, spp, reps, mode = 128, 2, 3, "strong"
+    side, spp, reps, mode, topo = 128, 2, 3, "strong", "sync"
     # accept --k=v and --k v; unknown args fail loudly instead of silently
     # running at defaults (round-3 review finding)
     argv = list(sys.argv[1:])
@@ -63,20 +63,27 @@ def main():
             k, v = a, argv.pop(0)
         else:
             raise SystemExit(f"missing value for {a}")
-        if k not in ("--side", "--spp", "--reps", "--mode"):
-            raise SystemExit(f"unknown arg {k} (--side --spp --reps --mode)")
+        if k not in ("--side", "--spp", "--reps", "--mode", "--topology"):
+            raise SystemExit(
+                f"unknown arg {k} (--side --spp --reps --mode --topology)"
+            )
         opts[k] = v
     side = int(opts.get("--side", side))
     spp = int(opts.get("--spp", spp))
     reps = int(opts.get("--reps", reps))
     mode = opts.get("--mode", mode)
     assert mode in ("strong", "weak"), mode
+    topo = opts.get("--topology", topo)
+    assert topo in ("sync", "mega"), topo
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-    from hijiki_tpu.parallel.multichip import MultiChipRenderer
+    from hijiki_tpu.parallel.multichip import (
+        MegaMultiChipRenderer,
+        MultiChipRenderer,
+    )
     from hijiki_tpu.render.blocks import cdiv
     from hijiki_tpu.render.renderer import RenderConfig, Renderer
     from hijiki_tpu.scene.compile import compile_scene, scene_to_device
@@ -96,6 +103,17 @@ def main():
         # band of blocks per device (fixed work per device); strong: fixed
         # total frame. Film equality is checked per N against a
         # single-device render of the SAME config either way.
+        if topo == "mega":
+            # the PRODUCTION multi-device path (round-4 verdict #2b): row
+            # bands with the banded no-collective film; bands must be whole
+            # 64-row reconstruction blocks, so the mesh axis rides HEIGHT
+            # (weak: one 64-row band per device; strong: fixed 512-row
+            # frame divisible into >=64-row bands at every N)
+            h = 64 * n if mode == "weak" else 512
+            return RenderConfig(
+                width=side, height=h, spp=spp, block_size=64, seed=7,
+                driver="mega", max_bounces=8,
+            )
         w = side * n if mode == "weak" else side
         # sync driver: the SAME integrator MultiChipRenderer's trace_blocks
         # uses, so the equality gate sees pure psum/film reduction order
@@ -112,14 +130,15 @@ def main():
         ref = Renderer(compiled, cfg)
         ref.render()
         ref_film = np.asarray(ref.film)
-        r = MultiChipRenderer(compiled, cfg, num_devices=n)
+        cls = MegaMultiChipRenderer if topo == "mega" else MultiChipRenderer
+        r = cls(compiled, cfg, num_devices=n)
         t0 = time.monotonic()
         r.render()
         np.asarray(r.film)
         warm = time.monotonic() - t0
         best = None
         for _ in range(reps):
-            r = MultiChipRenderer(compiled, cfg, num_devices=n)
+            r = cls(compiled, cfg, num_devices=n)
             t0 = time.monotonic()
             r.render()
             np.asarray(r.film)
@@ -127,7 +146,7 @@ def main():
         np.testing.assert_allclose(
             np.asarray(r.film), ref_film, rtol=5e-4, atol=5e-5
         )
-        blocks_total = cdiv(cfg.width, 64) * cdiv(side, 64)
+        blocks_total = cdiv(cfg.width, 64) * cdiv(cfg.height, 64)
         pad = (cdiv(blocks_total, n) * n - blocks_total) / blocks_total
         rows.append((n, best, warm, pad))
         log(
@@ -147,8 +166,13 @@ def main():
         over = lambda n, t: t / (base * n) - 1
     out = {
         "mode": desc,
-        "config": f"cbox+spheres {side}x{side}-per-device @ {spp} spp, "
-                  f"sync driver, block 64, best of {reps}",
+        "config": (
+            f"cbox+spheres {side}x{side}-per-device @ {spp} spp, "
+            f"{topo} driver"
+            + (" (row-band mega topology, banded no-collective film)"
+               if topo == "mega" else "")
+            + f", block 64, best of {reps}"
+        ),
         "curve": [
             {
                 "devices": n,
