@@ -143,6 +143,14 @@ def build_parser() -> argparse.ArgumentParser:
         "0 = auto (off), 1 = off, h > 1 = window height",
     )
     p.add_argument(
+        "--mega-shadow",
+        type=int,
+        default=0,
+        help="Dedicated any-hit shadow table for the megakernel's NEE walk "
+        "(bitwise-identical images; fewer shadow row visits): 0 = auto (on "
+        "for analytic VMEM scenes), 1 = on, -1 = off",
+    )
+    p.add_argument(
         "--profile-dir",
         default=None,
         help="Write a jax.profiler trace of the render to this directory "
@@ -243,6 +251,7 @@ def main(argv=None) -> int:
         spec_resolve=args.spec_resolve,
         mega_trunk=args.mega_trunk,
         mega_window=args.mega_window,
+        mega_shadow=args.mega_shadow,
         live_preview=args.live_preview,
     )
     if args.fixed_albedo and args.driver == "wavefront":

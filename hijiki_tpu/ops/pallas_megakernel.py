@@ -2383,6 +2383,39 @@ def _bounce_loop(rows_ref, cfg, init):
             # visibility shortcut (e.g. scene/lightvis.py's proven cells).
             sh = {"hitf": jnp.zeros_like(sdist),
                   "nit": jnp.zeros((SUBLANES, 1), f32)}
+        elif cfg.get("shadow_ref") is not None:
+            # dedicated any-hit shadow table (round-4 verdict #1): a single
+            # PACKED3 flattening with no payload section — 3 prims per
+            # 32-wide row at the classic row's fetch cost, no winner
+            # resolve, no octant set (ordering along the ray does not prune
+            # a bounded any-hit query). Occlusion per lane is the same
+            # boolean OR over the same prim set as the shared-table walk,
+            # so the estimate is unchanged (scene.compile.CompiledScene
+            # .shadow_rows_mega; sim: tools/sim_shadow_walk.py).
+            s_rows = cfg["shadow_tbl_rows"]
+            sh = _traverse(
+                cfg["shadow_ref"],
+                s_rows,
+                s_rows,
+                cfg["analytic"],
+                jnp.zeros((SUBLANES, 1), jnp.int32),
+                hx,
+                hy,
+                hz,
+                sdx,
+                sdy,
+                sdz,
+                jnp.full_like(sdist, f32(2.0 * M_EPS)),
+                jnp.where(walk_gate, sdist - f32(M_EPS), f32(-1.0)),
+                want_payload=False,
+                prefetch=prefetch,
+                hbm_bufs=None,
+                spec=spec,
+                pred=None,
+                groups=groups,
+                group_octant=False,
+                packed=(s_rows, s_rows, 3),  # 3 = PACKED3 prim layout
+            )
         else:
             sh = _traverse(
                 rows_ref,
@@ -2742,7 +2775,13 @@ def _camera_init(px, py, seed, cfg):
     return init
 
 
-def _megakernel(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref, *, cfg):
+def _megakernel(rows_ref, *args, cfg):
+    # optional dedicated any-hit shadow table ref follows the main table
+    # (cfg["shadow_tbl_rows"] > 0 — see render_tiles/_bounce_loop NEE site)
+    if cfg.get("shadow_tbl_rows"):
+        shadow_ref, *args = args
+        cfg = dict(cfg, shadow_ref=shadow_ref)
+    px_ref, py_ref, seed_ref, out_ref, state_out_ref = args
     # cap the DMA window height at the table size BEFORE scratch allocation
     # (a window taller than the table would make every [0, h) slice overrun
     # the ref, and the h=1 fallback walker reads the whole scratch); tiny
@@ -2767,6 +2806,26 @@ def _megakernel_body(rows_ref, px_ref, py_ref, seed_ref, out_ref, state_out_ref,
     out_ref[5] = s["n3"]
     out_ref[6] = s["depth"]
     state_out_ref[0] = s["state"]
+
+
+def _check_shadow_tbl(shadow_tbl, scene, table_in_hbm, shadow_cache):
+    if not shadow_tbl:
+        return
+    if scene.shadow_rows_mega is None:
+        raise ValueError(
+            "shadow_tbl requires a scene compiled with a dedicated shadow "
+            "table (scene.compile builds it for analytic VMEM scenes)"
+        )
+    if table_in_hbm:
+        raise ValueError(
+            "shadow_tbl is VMEM-only (HBM-streamed scenes keep the "
+            "shared-table shadow walk)"
+        )
+    if shadow_cache:
+        raise ValueError(
+            "shadow_cache predicts MAIN-table rows; it cannot be combined "
+            "with the dedicated shadow table"
+        )
 
 
 def _pad_hbm_rows(rows):
@@ -2797,10 +2856,15 @@ def render_tiles(
     group_octant: bool = True,
     trunk_rows: int = 0,
     hbm_window: int = 1,
+    shadow_tbl: bool = False,
 ):
     """Path-trace N rays with the megakernel; returns (total(N,3), normal(N,3),
-    depth(N,), state(N,)). N must be a multiple of 8*packet."""
+    depth(N,), state(N,)). N must be a multiple of 8*packet.
+
+    ``shadow_tbl``: route NEE shadow rays to the scene's dedicated PACKED3
+    any-hit table (scene.shadow_rows_mega; round-4 verdict #1)."""
     N = px.shape[0]
+    _check_shadow_tbl(shadow_tbl, scene, table_in_hbm, shadow_cache)
     tile = SUBLANES * packet
     if N % tile != 0:
         raise ValueError(f"pad ray count to a multiple of {tile}")
@@ -2846,11 +2910,13 @@ def render_tiles(
         group_octant=group_octant,
         trunk_rows=trunk_rows,
         hbm_window=hbm_window,
+        shadow_tbl_rows=scene.shadow_tbl_rows_static if shadow_tbl else 0,
     )
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
 
     shape = (n_tiles, SUBLANES, packet)
+    tbl_args = [rows] + ([scene.shadow_rows_mega] if shadow_tbl else [])
     out, state = pl.pallas_call(
         functools.partial(_megakernel, cfg=cfg),
         grid=(n_tiles,),
@@ -2858,6 +2924,9 @@ def render_tiles(
             pl.BlockSpec(
                 memory_space=pl.ANY if table_in_hbm else pltpu.VMEM
             ),
+        ] + (
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] if shadow_tbl else []
+        ) + [
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, SUBLANES, packet), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -2871,7 +2940,7 @@ def render_tiles(
             sds((n_tiles, 1, SUBLANES, packet), jnp.uint32, px),
         ),
         interpret=interpret,
-    )(rows, px.reshape(shape), py.reshape(shape), seeds.reshape(shape))
+    )(*tbl_args, px.reshape(shape), py.reshape(shape), seeds.reshape(shape))
 
     total = jnp.stack([out[:, k].reshape(N) for k in range(3)], axis=-1)
     normal = jnp.stack([out[:, 3 + k].reshape(N) for k in range(3)], axis=-1)
@@ -2928,8 +2997,12 @@ def _read_state(st_ref, rng_ref):
     return s
 
 
-def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cfg):
+def _megakernel_start(rows_ref, *args, cfg):
     """Camera launch: raygen + bounce up to cfg['max_bounces'], emit state."""
+    if cfg.get("shadow_tbl_rows"):
+        shadow_ref, *args = args
+        cfg = dict(cfg, shadow_ref=shadow_ref)
+    px_ref, py_ref, seed_ref, st_out, rng_out = args
 
     def go(cfg):
         init = _camera_init(px_ref[...], py_ref[...], seed_ref[...], cfg)
@@ -2939,8 +3012,7 @@ def _megakernel_start(rows_ref, px_ref, py_ref, seed_ref, st_out, rng_out, *, cf
     _with_hbm_bufs(cfg, go, rows_ref)
 
 
-def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
-                              st_out, rng_out, chain_out, *, cfg):
+def _megakernel_start_chained(rows_ref, *args, cfg):
     """Chained camera launch: trace cfg['chain'] sweep samples per lane,
     respawning dead lanes onto the same pixel's next sample (occupancy —
     see _bounce_loop's chain block). Finished samples flush to per-sweep
@@ -2948,6 +3020,10 @@ def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
     their (sample, lane) slot in ``st_out``/``rng_out`` (S state slots per
     lane, zero = no survivor) and the lane keeps chaining. The loop ends
     only when every lane has finished or parked ALL its samples."""
+    if cfg.get("shadow_tbl_rows"):
+        shadow_ref, *args = args
+        cfg = dict(cfg, shadow_ref=shadow_ref)
+    pxs_ref, pys_ref, seeds_ref, st_out, rng_out, chain_out = args
 
     def go(cfg):
         chain_out[...] = jnp.zeros(chain_out.shape, f32)
@@ -2962,8 +3038,12 @@ def _megakernel_start_chained(rows_ref, pxs_ref, pys_ref, seeds_ref,
     _with_hbm_bufs(cfg, go, rows_ref)
 
 
-def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
+def _megakernel_resume(rows_ref, *args, cfg):
     """Resume launch: continue paths from a packed state."""
+    if cfg.get("shadow_tbl_rows"):
+        shadow_ref, *args = args
+        cfg = dict(cfg, shadow_ref=shadow_ref)
+    st_in, rng_in, st_out, rng_out = args
 
     def go(cfg):
         init = _read_state(st_in, rng_in)
@@ -2974,11 +3054,15 @@ def _megakernel_resume(rows_ref, st_in, rng_in, st_out, rng_out, *, cfg):
 
 
 def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret,
-                         chain_ch=0, state_slots=1):
+                         chain_ch=0, state_slots=1, shadow=None):
     packet = ins[0].shape[-1]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY if cfg.get("hbm") else pltpu.VMEM)
     ]
+    tbl_args = [rows]
+    if shadow is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        tbl_args.append(shadow)
     for a in ins:
         nch = a.shape[1] if a.ndim == 4 else None
         if a.ndim == 4:
@@ -3011,11 +3095,12 @@ def _launch_state_kernel(kernel, cfg, rows, ins, n_tiles, interpret,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(rows, *ins)
+    )(*tbl_args, *ins)
 
 
 def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
-                           orig, res, res_state, packet, interpret):
+                           orig, res, res_state, packet, interpret,
+                           shadow=None):
     """The wavefront's survivor phases: compact + coherence-sort the alive
     lanes, resume the megakernel at each cap, and scatter finished results
     into ``res``/``res_state`` at ``orig``. Shared by render_waves (orig =
@@ -3083,6 +3168,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
             [st_in, rng_in],
             tiles_of(n_next),
             interpret,
+            shadow=shadow,
         )
         flat, rngf = unpack(st, rng_st, n_next)
         res, res_state = commit(res, res_state, flat, rngf, orig)
@@ -3112,6 +3198,7 @@ def _run_compaction_phases(scene, base_cfg, rows, caps, shrinks, flat, rngf,
         "trunk_rows",
         "hbm_window",
         "shadow_vis",
+        "shadow_tbl",
     ),
 )
 def render_waves(
@@ -3139,6 +3226,7 @@ def render_waves(
     group_octant: bool = True,
     trunk_rows: int = 0,
     hbm_window: int = 1,
+    shadow_tbl: bool = False,
 ):
     """Phased wavefront render: megakernel launches with compaction + spatial
     sorting between phases.
@@ -3164,6 +3252,7 @@ def render_waves(
     N_req = px.shape[0]
     tile = SUBLANES * packet
     _check_groups(packet, groups, spec, table_in_hbm)
+    _check_shadow_tbl(shadow_tbl, scene, table_in_hbm, shadow_cache)
     pad = (-N_req) % tile
     if pad:
         # trace a few dummy rays (duplicates of ray 0) and drop their results:
@@ -3212,7 +3301,9 @@ def render_waves(
         group_octant=group_octant,
         trunk_rows=trunk_rows,
         hbm_window=hbm_window,
+        shadow_tbl_rows=scene.shadow_tbl_rows_static if shadow_tbl else 0,
     )
+    shadow = scene.shadow_rows_mega if shadow_tbl else None
     if table_in_hbm:
         rows = _pad_hbm_rows(rows)
 
@@ -3245,6 +3336,7 @@ def render_waves(
         [px.reshape(shape3), py.reshape(shape3), seeds.reshape(shape3)],
         tiles_of(N),
         interpret,
+        shadow=shadow,
     )
 
     def unpack(st, rng_st, n):
@@ -3263,7 +3355,7 @@ def render_waves(
 
     res, res_state, overflow = _run_compaction_phases(
         scene, base_cfg, rows, caps[1:], shrinks, flat, rngf, orig, res,
-        res_state, packet, interpret,
+        res_state, packet, interpret, shadow=shadow,
     )
 
     total = jnp.stack([res[0], res[1], res[2]], axis=-1)[:N_req]
@@ -3294,6 +3386,7 @@ def render_waves(
         "trunk_rows",
         "hbm_window",
         "shadow_vis",
+        "shadow_tbl",
     ),
 )
 def render_waves_chained(
@@ -3320,6 +3413,7 @@ def render_waves_chained(
     group_octant: bool = True,
     trunk_rows: int = 0,
     hbm_window: int = 1,
+    shadow_tbl: bool = False,
 ):
     """Chained phased render: S sweep samples per pixel in ONE phase-0
     launch with in-kernel lane respawn (occupancy: a dead path's lane
@@ -3343,6 +3437,7 @@ def render_waves_chained(
     if S < 2:
         raise ValueError("render_waves_chained needs >= 2 sweeps; use render_waves")
     _check_groups(packet, groups, spec, table_in_hbm)
+    _check_shadow_tbl(shadow_tbl, scene, table_in_hbm, shadow_cache)
     tile = SUBLANES * packet
     pad = (-N_req) % tile
     if pad:
@@ -3390,6 +3485,7 @@ def render_waves_chained(
         group_octant=group_octant,
         trunk_rows=trunk_rows,
         hbm_window=hbm_window,
+        shadow_tbl_rows=scene.shadow_tbl_rows_static if shadow_tbl else 0,
         chain=S,
     )
     if table_in_hbm:
@@ -3402,6 +3498,7 @@ def render_waves_chained(
         return jnp.moveaxis(a.reshape(S, nt, SUBLANES, packet), 0, 1)
 
     cap0 = min(chain_cap, max_bounces)
+    shadow = scene.shadow_rows_mega if shadow_tbl else None
     st, rng_st, chain_imgs = _launch_state_kernel(
         _megakernel_start_chained,
         dict(base_cfg, max_bounces=cap0),
@@ -3411,6 +3508,7 @@ def render_waves_chained(
         interpret,
         chain_ch=S * CHAIN_OUT_CH,
         state_slots=S,
+        shadow=shadow,
     )
     # parked-path pool: (nt, S*N_STATE, 8, P) -> (N_STATE, S*N), slot
     # s*N + lane (matches the res layout below); most slots are dead zeros
@@ -3449,7 +3547,7 @@ def render_waves_chained(
     if caps:
         res, res_state, overflow = _run_compaction_phases(
             scene, base_cfg_nochain(base_cfg), rows, caps, shrinks, flat,
-            rngf, orig, res, res_state, packet, interpret,
+            rngf, orig, res, res_state, packet, interpret, shadow=shadow,
         )
     else:
         # max_bounces <= chain_cap: every parked path already traced its

@@ -280,6 +280,7 @@ def make_sharded_mega_sweep(
     groups: int = 1,
     table_in_hbm: bool = False,
     trunk_rows: int = 0,
+    shadow_tbl: bool = False,
     phase_shrink: tuple = (),
 ):
     """Sharded sweep for the Pallas megakernel driver.
@@ -335,6 +336,7 @@ def make_sharded_mega_sweep(
             groups=groups,
             table_in_hbm=table_in_hbm,
             trunk_rows=trunk_rows,
+            shadow_tbl=shadow_tbl,
             **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
         from hijiki_tpu.render.pallas_reconstruct import R as RADIUS
@@ -461,6 +463,7 @@ class MegaMultiChipRenderer(Renderer):
             resolve_mega_groups,
             resolve_mega_packet,
             resolve_mega_trunk,
+            resolve_shadow_tbl,
         )
 
         table_hbm = compiled.trace_rows_mega.nbytes > MEGA_TABLE_LIMIT_BYTES
@@ -480,6 +483,9 @@ class MegaMultiChipRenderer(Renderer):
             table_in_hbm=table_hbm,
             trunk_rows=resolve_mega_trunk(
                 getattr(c, "mega_trunk", 0), table_hbm, compiled
+            ),
+            shadow_tbl=resolve_shadow_tbl(
+                getattr(c, "mega_shadow", 0), table_hbm, compiled
             ),
         )
         self._sweep_fn = make_sharded_mega_sweep(

@@ -103,6 +103,13 @@ class RenderConfig:
     # compaction phases (render_waves_chained chain_cap): 0 = kernel
     # default (8, measured). Estimator-exact for any value.
     mega_chain_cap: int = 0
+    # dedicated any-hit shadow table for the megakernel's NEE walk
+    # (scene.compile.CompiledScene.shadow_rows_mega — a payload-free
+    # PACKED3 flattening; round-4 verdict #1): 0 = auto
+    # (resolve_shadow_tbl: ON whenever the scene built one and the main
+    # table is VMEM-resident), 1 = on, -1 = off. Images are
+    # bitwise-identical either way (tests/test_megakernel.py).
+    mega_shadow: int = 0
     # wavefront phase-capacity shrink factors (mega driver; see
     # ops/pallas_megakernel.render_waves): () = kernel defaults. The
     # renderer enforces overflow == 0 regardless: a sweep chunk that drops
@@ -133,6 +140,7 @@ class RenderConfig:
         "mega_spec_resolve",
         "mega_trunk",
         "mega_window",
+        "mega_shadow_tbl",
         "phase_shrink",
         "seeds_from_blocks",
         "interpret",
@@ -162,6 +170,7 @@ def render_sweep(
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
     mega_window: int = 1,
+    mega_shadow_tbl: bool = False,
     phase_shrink: tuple = (),
     seeds_from_blocks: bool = False,
     # run the Pallas kernels (megakernel + reconstruction) in interpret
@@ -210,6 +219,7 @@ def render_sweep(
             spec_resolve=mega_spec_resolve,
             trunk_rows=mega_trunk,
             hbm_window=mega_window,
+            shadow_tbl=mega_shadow_tbl,
             interpret=interpret,
             **({"phase_shrink": phase_shrink} if phase_shrink else {}),
         )
@@ -331,6 +341,7 @@ MEGA_TRUNK_BYTES = 12 << 20
         "mega_spec_resolve",
         "mega_trunk",
         "mega_window",
+        "mega_shadow_tbl",
         "phase_shrink",
         "interpret",
         "mega_table_hbm",
@@ -353,6 +364,7 @@ def render_sweeps_chained(
     mega_spec_resolve: bool = False,
     mega_trunk: int = 0,
     mega_window: int = 1,
+    mega_shadow_tbl: bool = False,
     phase_shrink: tuple = (),
     interpret: bool = False,
 ):
@@ -398,6 +410,7 @@ def render_sweeps_chained(
         spec_resolve=mega_spec_resolve,
         trunk_rows=mega_trunk,
         hbm_window=mega_window,
+        shadow_tbl=mega_shadow_tbl,
         interpret=interpret,
         **({"phase_shrink": phase_shrink} if phase_shrink else {}),
     )
@@ -618,6 +631,27 @@ def resolve_mega_trunk(requested: int, table_hbm: bool, scene) -> int:
     return 0
 
 
+def resolve_shadow_tbl(requested: int, table_hbm: bool, scene) -> bool:
+    """Dedicated any-hit shadow table (ops/pallas_megakernel, round-4
+    verdict #1): 0 = auto — OFF. The on-chip A/B (tools/ab_shadow_tbl.py,
+    cbox+spheres 512^2, PERF_NOTES §12) measured the PACKED3 shadow
+    table's 1.07-1.08x tile-iteration cut fully repaid by the 3-prim
+    tournament's extra issue (G=4 0.995x, G=2 1.006x) and extra serial
+    chain depth (G=1 0.950x) — the §11 slab+prim issue term survived.
+    1 = on (errors downstream if the scene has none), -1 = off.
+    HIJIKI_SHADOW_TBL overrides. Images are bitwise-identical either way
+    (same prim set, same per-prim f32 test, order-independent OR;
+    tests/test_megakernel.py)."""
+    import os
+
+    if requested:
+        return requested > 0
+    env = os.environ.get("HIJIKI_SHADOW_TBL")
+    if env:
+        return int(env) > 0
+    return False
+
+
 def resolve_mega_window(requested: int, table_hbm: bool) -> int:
     """h-row window DMA height for HBM-streamed walks
     (ops/pallas_megakernel._traverse_hbm_window). 0 = auto: OFF (1) until
@@ -708,6 +742,9 @@ class Renderer:
             mega_window=resolve_mega_window(
                 c.mega_window, self._mega_table_hbm
             ),
+            mega_shadow_tbl=resolve_shadow_tbl(
+                c.mega_shadow, self._mega_table_hbm, self.scene
+            ),
             phase_shrink=tuple(c.phase_shrink or ()),
             # Pallas kernels need interpret mode off-TPU (bench.py's
             # on_tpu test); the mega driver is then driveable anywhere
@@ -760,6 +797,7 @@ class Renderer:
                     mega_spec_resolve=kwargs["mega_spec_resolve"],
                     mega_trunk=kwargs["mega_trunk"],
                     mega_window=kwargs["mega_window"],
+                    mega_shadow_tbl=kwargs["mega_shadow_tbl"],
                     phase_shrink=ps,
                     interpret=kwargs["interpret"],
                 )

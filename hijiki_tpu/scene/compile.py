@@ -193,6 +193,18 @@ class CompiledScene:
     shadow_vis_static: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # Dedicated any-hit shadow table (round-4 verdict #1): a single
+    # area-ordered PACKED3 flattening (32-wide, 3 prims per leaf row, NO
+    # payload section — any-hit never resolves winners) of the same
+    # triangle set, walked by the megakernel's NEE shadow rays instead of
+    # the main table. Sim-priced 1.36-1.59x fewer shadow row visits at
+    # identical per-row cost (tools/sim_shadow_walk.py); occlusion per lane
+    # is the same boolean OR over the same prim set, so the estimate is
+    # unchanged. None = not built (non-analytic scenes, HBM-bound tables).
+    shadow_rows_mega: Any = None
+    shadow_tbl_rows_static: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
 
     @property
     def num_shapes(self) -> int:
@@ -799,6 +811,8 @@ def compile_scene(
 
     mega_tbl_rows = 0  # 0 = derive as rows // ntab (unpacked, no pay section)
     mega_pay_rows = 0
+    shadow_rows_mega = None  # dedicated any-hit table (analytic VMEM scenes)
+    shadow_tbl_rows = 0
 
     def want_octants(
         base_rows: int,
@@ -914,6 +928,35 @@ def compile_scene(
                         tri_bvh, tri_prim_args
                     )
                     mega_num_tables = 8
+                # dedicated any-hit shadow table (round-4 verdict #1): a
+                # single PACKED3 flattening over a leaf-3 rebuild of the
+                # same triangles — the megakernel's NEE walk tests 3 prims
+                # per 32-wide row at the classic row's fetch cost and needs
+                # neither payload nor octant ordering (ordering along the
+                # ray does not prune a bounded any-hit query; sim-priced in
+                # tools/sim_shadow_walk.py: octant vs single within 4%).
+                # Only for VMEM-resident classic tables (the HBM path keeps
+                # the shared-table walk); ~0.55 rows/tri * 128 B.
+                sh_bvh = build_bvh(
+                    aabb_min[NA:], aabb_max[NA:], leaf_size=PACKED3_N
+                )
+                if collapse:
+                    sh_bvh = collapse_bvh(sh_bvh, rounds=collapse)
+                sh_bvh = order_children_by_area(sh_bvh)
+                sh_order = sh_bvh.prim_order + NA
+                sh_mats = shape_mats[sh_order]
+                shadow_rows_mega, _sh_pay = build_packed_trace_rows(
+                    sh_bvh,
+                    a[sh_order],
+                    b[sh_order],
+                    c[sh_order],
+                    kind[sh_order],
+                    sh_mats >> MATERIAL_TAG_SHIFT,
+                    sh_mats & midx_mask,
+                    payload[sh_order],
+                    nper=PACKED3_N,
+                )
+                shadow_tbl_rows = shadow_rows_mega.shape[0]
         else:
             # all-analytic scene: one inert interior row (never hit, exits)
             trace_rows_mega = np.zeros((1, TRACE_ROW_WIDTH), dtype=np.float32)
@@ -1052,6 +1095,8 @@ def compile_scene(
         mega_tbl_rows_static=mega_tbl_rows,
         mega_pay_rows_static=mega_pay_rows,
         shadow_vis_static=shadow_vis,
+        shadow_rows_mega=shadow_rows_mega,
+        shadow_tbl_rows_static=shadow_tbl_rows,
     )
 
 
