@@ -173,10 +173,13 @@ def main():
     r.render()
     img = r.image()
     warmup_s = time.monotonic() - t0
+    from hijiki_tpu.utils import aot
+
     log(
         f"warmup (incl. compile): {warmup_s:.1f}s, mean {img.mean():.4f} "
         f"(compile cache: {cache_stats['hits']} hits / "
-        f"{cache_stats['misses']} misses, dir {cache_dir})"
+        f"{cache_stats['misses']} misses, dir {cache_dir}; "
+        f"AOT exec cache: {aot.stats})"
     )
 
     # wedge signature: a healthy compile+first-render via the tunnel is
@@ -258,6 +261,10 @@ def main():
                     "hits": cache_stats["hits"],
                     "misses": cache_stats["misses"],
                 },
+                # serialized-executable cache (utils/aot.py): a warm disk
+                # entry makes a FRESH process skip the chained Mosaic
+                # compile entirely (PERF_NOTES §10 fix)
+                "aot_cache": dict(aot.stats),
             }
         )
     )

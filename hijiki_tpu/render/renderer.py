@@ -347,7 +347,7 @@ MEGA_TRUNK_BYTES = 12 << 20
         "mega_table_hbm",
     ),
 )
-def render_sweeps_chained(
+def _render_sweeps_chained_jit(
     scene: CompiledScene,
     block_seeds,  # (S, bh, bw) u32 scheduler block seeds per sweep
     sample_offsets,  # (S, 2) f32 per-sweep jitter
@@ -440,6 +440,43 @@ def render_sweeps_chained(
         rows_visited=jnp.sum(rows) / (8.0 * mega_packet) / S,
     )
     return delta, stats
+
+
+# Resolved defaults of the chained entry's static kwargs, so AOT cache keys
+# are invariant to a caller spelling a default explicitly vs omitting it
+# (the renderer only passes chain_cap when overridden).
+_CHAINED_STATIC_DEFAULTS = dict(
+    chain_cap=8,
+    mega_packet=128,
+    mega_groups=1,
+    mega_table_hbm=False,
+    mega_spec_resolve=False,
+    mega_trunk=0,
+    mega_window=1,
+    mega_shadow_tbl=False,
+    phase_shrink=(),
+    interpret=False,
+)
+
+
+def render_sweeps_chained(scene, block_seeds, sample_offsets, **static_kwargs):
+    """AOT-cached entry to the chained megakernel executable (utils/aot.py):
+    a fresh process with a warm executable cache skips the minutes-long
+    Mosaic compile whose persistent-cache key drifts with compile history
+    (PERF_NOTES §10). Same signature/semantics as the jitted function."""
+    from hijiki_tpu.utils.aot import aot_call
+
+    kw = {**_CHAINED_STATIC_DEFAULTS, **static_kwargs}
+    return aot_call(
+        _render_sweeps_chained_jit,
+        (scene, block_seeds, sample_offsets),
+        kw,
+        tag="chained",
+    )
+
+
+# tools/dump_chained_hlo.py lowers the chained entry directly
+render_sweeps_chained.lower = _render_sweeps_chained_jit.lower
 
 
 def chain_chunk_size(remaining: int, chain: int) -> int:

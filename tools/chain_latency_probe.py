@@ -332,23 +332,50 @@ def make_dma(iters, mode="indep", rows=65536, ncols=128, height=1):
 
     def kernel(tbl_ref, o_ref, scratch, sems):
         cur0 = jnp.arange(SUBLANES, dtype=jnp.int32).reshape(SUBLANES, 1) * 97
+        # sharedsem*: all 8 copies signal ONE semaphore; the wait is a single
+        # descriptor for the total byte count (an (8h, W) copy object on the
+        # same semaphore — only sem + size matter to a wait). noclamp: the
+        # carried cursor is kept in-bounds by construction, so the 8x2
+        # scalar min ops vanish from BOTH start and wait. dedup: the
+        # all-equal fast path — 1 start + 1 wait + sublane broadcast.
+        shared = mode.startswith("sharedsem") or mode == "dedup"
+        clamp = "noclamp" not in mode and mode != "dedup"
+
+        def src(cur, k):
+            idx = cur[k, 0]
+            if clamp:
+                idx = jnp.minimum(idx, rows - height)
+            return tbl_ref.at[pl.ds(idx, height), :]
 
         def start(cur):
+            if mode == "dedup":
+                pltpu.make_async_copy(
+                    src(cur, 0), scratch.at[pl.ds(0, height), :], sems.at[0]
+                ).start()
+                return
             for k in range(SUBLANES):
                 pltpu.make_async_copy(
-                    tbl_ref.at[
-                        pl.ds(jnp.minimum(cur[k, 0], rows - height), height), :
-                    ],
+                    src(cur, k),
                     scratch.at[pl.ds(k * height, height), :],
-                    sems.at[k],
+                    sems.at[0 if shared else k],
                 ).start()
 
         def wait(cur):
+            if mode == "dedup":
+                pltpu.make_async_copy(
+                    src(cur, 0), scratch.at[pl.ds(0, height), :], sems.at[0]
+                ).wait()
+                return
+            if shared:
+                pltpu.make_async_copy(
+                    tbl_ref.at[pl.ds(0, SUBLANES * height), :],
+                    scratch.at[pl.ds(0, SUBLANES * height), :],
+                    sems.at[0],
+                ).wait()
+                return
             for k in range(SUBLANES):
                 pltpu.make_async_copy(
-                    tbl_ref.at[
-                        pl.ds(jnp.minimum(cur[k, 0], rows - height), height), :
-                    ],
+                    src(cur, k),
                     scratch.at[pl.ds(k * height, height), :],
                     sems.at[k],
                 ).wait()
@@ -357,6 +384,8 @@ def make_dma(iters, mode="indep", rows=65536, ncols=128, height=1):
             cur, acc = c
             wait(cur)
             r = scratch[...]
+            if mode == "dedup":
+                r = jnp.broadcast_to(scratch[0:1, :], (SUBLANES * height, ncols))
             acc = acc + r[:SUBLANES, :1]
             if mode == "chase":
                 cur_n = r[:SUBLANES, 10:11].astype(jnp.int32)
@@ -392,7 +421,15 @@ def make_dma(iters, mode="indep", rows=65536, ncols=128, height=1):
 
 
 def probe_dma():
-    for mode, height in (("indep", 1), ("indep", 2), ("indep", 4), ("chase", 1)):
+    for mode, height in (
+        ("indep", 1),
+        ("indep", 2),
+        ("indep", 4),
+        ("chase", 1),
+        ("sharedsem", 1),
+        ("sharedsem+noclamp", 1),
+        ("dedup", 1),
+    ):
         slope(
             make_dma, lo=20_000, hi=60_000, mode=mode, height=height,
             label=f"dma {mode} h={height}",
