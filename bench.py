@@ -36,13 +36,18 @@ def main():
     ap.add_argument(
         "--devices",
         type=int,
-        default=1,
-        help="render over an N-device mesh (MegaMultiChipRenderer, psum film "
-        "reduce over ICI); reports per-chip Mrays/s. N=1 is the single-chip "
-        "path. On non-TPU backends the Pallas kernels run in interpret mode "
+        default=None,
+        help="render over an N-device mesh (MegaMultiChipRenderer, banded "
+        "film over ICI); reports per-chip Mrays/s. An EXPLICIT --devices 1 "
+        "runs the mesh wrapper on a 1-device mesh — vs the default plain "
+        "Renderer this isolates the sharding-wrapper tax (round-4 verdict "
+        "2c). On non-TPU backends the Pallas kernels run in interpret mode "
         "so the flag is testable on a virtual CPU mesh.",
     )
     args = ap.parse_args()
+    force_mesh = args.devices is not None
+    if args.devices is None:
+        args.devices = 1
 
     # Bounded TPU availability probe BEFORE touching jax in-process: a wedged
     # axon tunnel hangs backend init for ~25 min per attempt (PERF_NOTES §9i,
@@ -127,7 +132,7 @@ def main():
     # depends on spp, and a warmup at a different spp would leave the chained
     # executable to compile inside the timed region (~25 s via the tunnel)
     warmup_spp = timed_spp
-    if n_dev > 1:
+    if force_mesh:
         from hijiki_tpu.parallel.multichip import MegaMultiChipRenderer
 
         if len(jax.devices()) < n_dev:
@@ -240,8 +245,8 @@ def main():
         f"primary Mrays/s/chip, cbox {W}x{H} (+spheres), full path trace "
         "(NEE, RR, 1000-bounce cap), bilateral reconstruction"
     )
-    if n_dev > 1:
-        metric += f" [{n_dev}-device mesh, psum film reduce]"
+    if force_mesh:
+        metric += f" [{n_dev}-device mesh wrapper, banded film]"
     if not on_tpu:
         metric += " [CPU FALLBACK — TPU unavailable, not a TPU number]"
     print(

@@ -327,6 +327,106 @@ def make_chain(iters, width=1024, rows=4096, ncols=128):
 # ---------------------------------------------------------------------------
 
 
+def make_dma_multi(iters, nchains=2, rows=65536, ncols=128, spec=False):
+    """G independent pointer-chase DMA chains interleaved (the grouped HBM
+    walker's overlap structure): per-SET cost when other chains' sets are in
+    flight. spec=True: dual-candidate prefetch — as soon as a chain's row
+    lands, BOTH next-cursor candidates (exit column and cur+1) are started
+    into two slots, so the next copy is never gated on the vote; the reader
+    selects the slot by the emulated vote bit (row parity)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nslot = 2 if spec else 1
+
+    def kernel(tbl_ref, o_ref, scratch, sems):
+        cur0 = [
+            jnp.full((SUBLANES, 1), 97 * (g + 1), jnp.int32)
+            for g in range(nchains)
+        ]
+
+        def start(g, s, cur):
+            for k in range(SUBLANES):
+                pltpu.make_async_copy(
+                    tbl_ref.at[pl.ds(jnp.minimum(cur[k, 0], rows - 1), 1), :],
+                    scratch.at[pl.ds(((g * nslot + s) * SUBLANES + k), 1), :],
+                    sems.at[(g * nslot + s) * SUBLANES + k],
+                ).start()
+
+        def wait(g, s, cur):
+            for k in range(SUBLANES):
+                pltpu.make_async_copy(
+                    tbl_ref.at[pl.ds(jnp.minimum(cur[k, 0], rows - 1), 1), :],
+                    scratch.at[pl.ds(((g * nslot + s) * SUBLANES + k), 1), :],
+                    sems.at[(g * nslot + s) * SUBLANES + k],
+                ).wait()
+
+        def body(i, c):
+            curs, accs = c
+            ncurs, naccs = [], []
+            for g in range(nchains):
+                cur = curs[g]
+                if spec:
+                    # both slots were started last iteration for candidates
+                    # (chase, cur+1); drain both, pick by the vote bit
+                    wait(g, 0, cur)
+                    wait(g, 1, cur)
+                    r0 = scratch[(g * 2) * SUBLANES : (g * 2 + 1) * SUBLANES, :]
+                    r1 = scratch[(g * 2 + 1) * SUBLANES : (g * 2 + 2) * SUBLANES, :]
+                    vote = (r0[:, :1].astype(jnp.int32) & 1) > 0  # emulated
+                    r = jnp.where(vote, r1, r0)
+                    chase = r[:SUBLANES, 10:11].astype(jnp.int32)
+                    # candidates known straight from the fetched row — the
+                    # next copies start BEFORE any vote-shaped math
+                    start(g, 0, chase)
+                    start(g, 1, jnp.where(chase + 1 < rows, chase + 1, 0))
+                    acc = accs[g] + r[:SUBLANES, :1]
+                    ncurs.append(chase)
+                else:
+                    wait(g, 0, cur)
+                    r = scratch[g * SUBLANES : (g + 1) * SUBLANES, :]
+                    acc = accs[g] + r[:SUBLANES, :1]
+                    chase = r[:SUBLANES, 10:11].astype(jnp.int32)
+                    start(g, 0, chase)
+                    ncurs.append(chase)
+                naccs.append(acc)
+            return ncurs, naccs
+
+        for g in range(nchains):
+            start(g, 0, cur0[g])
+            if spec:
+                start(g, 1, cur0[g])
+        curs, accs = jax.lax.fori_loop(
+            0, iters, body,
+            (cur0, [jnp.zeros((SUBLANES, 1), jnp.float32)] * nchains),
+        )
+        for g in range(nchains):
+            wait(g, 0, curs[g])
+            if spec:
+                wait(g, 1, curs[g])
+        tot = accs[0]
+        for g in range(1, nchains):
+            tot = tot + accs[g]
+        o_ref[...] = jnp.broadcast_to(
+            tot + curs[0].astype(jnp.float32), o_ref.shape
+        )
+
+    from jax.experimental.pallas import tpu as _pt
+
+    f = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, 128), jnp.float32),
+        scratch_shapes=[
+            _pt.VMEM((nchains * nslot * SUBLANES, ncols), jnp.float32),
+            _pt.SemaphoreType.DMA((nchains * nslot * SUBLANES,)),
+        ],
+    )
+    rng = np.random.default_rng(0)
+    tbl = rng.random((rows, ncols), np.float32)
+    tbl[:, 10] = rng.integers(0, rows - 2, rows).astype(np.float32)
+    return f, (jnp.asarray(tbl),)
+
+
 def make_dma(iters, mode="indep", rows=65536, ncols=128, height=1):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -440,6 +540,19 @@ def probe_dma():
         )
 
 
+def probe_dma_multi():
+    for nchains, spec in ((1, False), (2, False), (4, False), (1, True), (2, True)):
+        slope(
+            make_dma_multi, lo=20_000, hi=60_000, nchains=nchains, spec=spec,
+            label=f"dmaG G={nchains} spec={spec}",
+            report=lambda ns, n=nchains, s=spec: (
+                f"dmaG  G={n} spec={int(s)}: {ns / n:7.1f} ns/set "
+                f"({ns:7.1f} ns/iter; pointer-chase, "
+                f"{'2x8' if s else '8'} copies/set)"
+            ),
+        )
+
+
 def probe_chain():
     for w in (256, 1024):
         slope(
@@ -463,6 +576,8 @@ def main():
         probe_fetch()
     if which in ("dma", "all"):
         probe_dma()
+    if which in ("dmag", "all"):
+        probe_dma_multi()
     if which in ("chain", "all"):
         probe_chain()
     _run_pending()
