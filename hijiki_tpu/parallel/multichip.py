@@ -282,6 +282,9 @@ def make_sharded_mega_sweep(
     trunk_rows: int = 0,
     shadow_tbl: bool = False,
     phase_shrink: tuple = (),
+    n_sweeps: int = 1,
+    seeds_from_blocks: bool = False,
+    chain_cap: int = 8,
 ):
     """Sharded sweep for the Pallas megakernel driver.
 
@@ -322,28 +325,23 @@ def make_sharded_mega_sweep(
             f"band height {band} must be a multiple of block_size {block_size}"
         )
 
-    def per_device(scene_, px, py, seeds, sample_offset):
-        t, n, dep, _, ovf, _, _, _ = render_waves(
-            scene_,
-            px,
-            py,
-            seeds,
-            width=width,
-            height=height,
-            max_bounces=max_bounces,
-            interpret=interpret,
-            packet=packet,
-            groups=groups,
-            table_in_hbm=table_in_hbm,
-            trunk_rows=trunk_rows,
-            shadow_tbl=shadow_tbl,
-            **({"phase_shrink": phase_shrink} if phase_shrink else {}),
-        )
-        from hijiki_tpu.render.pallas_reconstruct import R as RADIUS
+    trace_kwargs = dict(
+        width=width,
+        height=height,
+        max_bounces=max_bounces,
+        interpret=interpret,
+        packet=packet,
+        groups=groups,
+        table_in_hbm=table_in_hbm,
+        trunk_rows=trunk_rows,
+        shadow_tbl=shadow_tbl,
+        **({"phase_shrink": phase_shrink} if phase_shrink else {}),
+    )
 
+    def _recon_band(t, n, sample_offset):
         B = block_size
         pad_rows = ((B, B), (0, 0), (0, 0))
-        ext = reconstruct_pallas(
+        return reconstruct_pallas(
             jnp.pad(t.reshape(band, width, 3), pad_rows),
             jnp.pad(n.reshape(band, width, 3), pad_rows),
             sample_offset,
@@ -357,6 +355,14 @@ def make_sharded_mega_sweep(
             stddev=stddev,
             interpret=interpret,
         )  # (band + 2B, width, 4); nonzero only in [B-R, B+band+R)
+
+    def _exchange(ext, ovf):
+        """Halo-exchange one (band+2B, W, 4) extended-canvas delta (the SUM
+        over a chunk's sweeps — strips are additive, so a chained chunk
+        pays ONE exchange, not one per sweep) into the owned band."""
+        from hijiki_tpu.render.pallas_reconstruct import R as RADIUS
+
+        B = block_size
         own = ext[B : B + band]
         up_strip = ext[B - RADIUS : B]  # spill above the band -> device idx-1
         dn_strip = ext[B + band : B + band + RADIUS]  # spill below -> idx+1
@@ -378,11 +384,67 @@ def make_sharded_mega_sweep(
         # image-boundary clipping (in_img) of the full-frame filter
         return own, jax.lax.psum(ovf, axis)
 
+    def per_device(scene_, px, py, seeds, sample_offset):
+        t, n, dep, _, ovf, _, _, _ = render_waves(
+            scene_, px, py, seeds, **trace_kwargs
+        )
+        return _exchange(_recon_band(t, n, sample_offset), ovf)
+
+    def per_device_blocks(scene_, block_seeds, sample_offsets):
+        """Device-side input expansion + optional sweep chaining — the two
+        wrapper taxes measured in round 5 (PERF_NOTES §13): the host
+        px/py/seed build + ~12 MB/sweep upload (§9l's cost, tripled) and
+        the per-sweep launch the plain renderer amortizes by chaining.
+        ``block_seeds`` is (S, bh, bw) u32 sharded over band rows;
+        ``sample_offsets`` is (S, 2) f32 replicated."""
+        from hijiki_tpu.render.blocks import per_pixel_seeds_device
+
+        di = jax.lax.axis_index(axis)
+        f32 = jnp.float32
+        yy = (
+            jax.lax.broadcasted_iota(f32, (band, width), 0)
+            + di.astype(f32) * band
+        ).reshape(-1)
+        xx = jax.lax.broadcasted_iota(f32, (band, width), 1).reshape(-1)
+        S = n_sweeps
+        seeds = jnp.stack(
+            [
+                per_pixel_seeds_device(
+                    width, band, block_size, block_seeds[si]
+                ).reshape(-1)
+                for si in range(S)
+            ]
+        )
+        if S == 1:
+            t, n, dep, _, ovf, _, _, _ = render_waves(
+                scene_,
+                xx + sample_offsets[0, 0],
+                yy + sample_offsets[0, 1],
+                seeds[0],
+                **trace_kwargs,
+            )
+            return _exchange(_recon_band(t, n, sample_offsets[0]), ovf)
+        from hijiki_tpu.ops.pallas_megakernel import render_waves_chained
+
+        pxs = jnp.stack([xx + sample_offsets[si, 0] for si in range(S)])
+        pys = jnp.stack([yy + sample_offsets[si, 1] for si in range(S)])
+        t, n, dep, _, ovf, _, _, _ = render_waves_chained(
+            scene_, pxs, pys, seeds, chain_cap=chain_cap, **trace_kwargs
+        )
+        ext = _recon_band(t[0], n[0], sample_offsets[0])
+        for si in range(1, S):
+            ext = ext + _recon_band(t[si], n[si], sample_offsets[si])
+        return _exchange(ext, ovf)
+
     scene_specs = jax.tree.map(lambda _: P(), scene)
     fn = jax.shard_map(
-        per_device,
+        per_device_blocks if seeds_from_blocks else per_device,
         mesh=mesh,
-        in_specs=(scene_specs, P(axis), P(axis), P(axis), P()),
+        in_specs=(
+            (scene_specs, P(None, axis), P())
+            if seeds_from_blocks
+            else (scene_specs, P(axis), P(axis), P(axis), P())
+        ),
         out_specs=(P(axis), P()),
         # OFF for the mega path in BOTH modes: vma inference through
         # pallas_call kernel traces is incomplete in this JAX version — the
@@ -488,66 +550,106 @@ class MegaMultiChipRenderer(Renderer):
                 getattr(c, "mega_shadow", 0), table_hbm, compiled
             ),
         )
-        self._sweep_fn = make_sharded_mega_sweep(
-            self.mesh,
-            self.scene,
-            phase_shrink=tuple(getattr(c, "phase_shrink", ()) or ()),
-            **self._mega_sweep_kwargs,
+        self._phase_shrink = tuple(getattr(c, "phase_shrink", ()) or ())
+        self._table_hbm = table_hbm
+        self._interpret = interpret
+        # sharded sweep executables, lazily built per (chunk size S,
+        # full_capacity); the full-capacity twin (phase_shrink=1 cannot
+        # drop paths) only compiles if an overflow retry actually triggers
+        self._sweep_fns = {}
+
+    def _get_fn(self, n_sweeps, full_capacity):
+        key = (n_sweeps, bool(full_capacity))
+        if key not in self._sweep_fns:
+            self._sweep_fns[key] = make_sharded_mega_sweep(
+                self.mesh,
+                self.scene,
+                phase_shrink=(1,) * 8 if full_capacity else self._phase_shrink,
+                n_sweeps=n_sweeps,
+                seeds_from_blocks=True,
+                **self._mega_sweep_kwargs,
+            )
+        return self._sweep_fns[key]
+
+    def _chunk_delta(self, scheds, full_capacity=False):
+        """One chunk's film delta: S sweeps in ONE sharded launch (S > 1
+        chains them in-kernel like the plain renderer; round-5 wrapper-tax
+        fix). Inputs are the tiny (S, bh, bw) block-seed array + (S, 2)
+        offsets — pixel/seed expansion happens per-band ON DEVICE. Returns
+        (delta, ovf) with the overflow counter left on device (a per-chunk
+        int() would force a device sync)."""
+        from hijiki_tpu.utils.aot import aot_call
+
+        S = len(scheds)
+        bs = jnp.asarray(
+            np.stack([np.asarray(s.block_seeds, np.uint32) for s in scheds])
         )
-        # full-capacity twin for the overflow==0 invariant (phase_shrink=1
-        # cannot drop paths); built lazily — it only compiles if a retry
-        # actually triggers
-        self._sweep_fn_full = None
+        offs = jnp.asarray(
+            np.stack(
+                [np.asarray(s.sample_offset, np.float32) for s in scheds]
+            )
+        )
+        fn = self._get_fn(S, full_capacity)
+        if self._interpret:
+            return fn(self.scene, bs, offs)
+        return aot_call(
+            fn,
+            (self.scene, bs, offs),
+            {},
+            tag="mega_sharded",
+            key_extra=dict(
+                n_sweeps=S,
+                full=bool(full_capacity),
+                ndev=self.n_dev,
+                phase_shrink=self._phase_shrink,
+                **self._mega_sweep_kwargs,
+            ),
+        )
 
     def _sweep_delta(self, sched, full_capacity=False):
-        """One sweep's film delta (row-band mega sharding). Returns
-        (delta, ovf) with the overflow counter left on device (a per-sweep
-        int() would force a device sync)."""
-        from hijiki_tpu.render.blocks import per_pixel_seeds
-
-        c = self.config
-        H, W = c.height, c.width
-        yy, xx = np.mgrid[0:H, 0:W]
-        seeds = per_pixel_seeds(W, H, c.block_size, sched.block_seeds)
-        off = sched.sample_offset
-        fn = self._sweep_fn
-        if full_capacity:
-            if self._sweep_fn_full is None:
-                self._sweep_fn_full = make_sharded_mega_sweep(
-                    self.mesh,
-                    self.scene,
-                    phase_shrink=(1,) * 8,
-                    **self._mega_sweep_kwargs,
-                )
-            fn = self._sweep_fn_full
-        delta, ovf = fn(
-            self.scene,
-            jnp.asarray((xx + off[0]).ravel().astype(np.float32)),
-            jnp.asarray((yy + off[1]).ravel().astype(np.float32)),
-            jnp.asarray(seeds.reshape(-1)),
-            jnp.asarray(off),
-        )
-        return delta, ovf
+        """One sweep's film delta (the multihost stride mixin and the
+        overflow settle call per-sweep)."""
+        return self._chunk_delta([sched], full_capacity)
 
     def render(self, progress=None):
         import time
 
         from hijiki_tpu.utils.tracing import maybe_span
 
+        from hijiki_tpu.render.renderer import (
+            chain_chunk_size,
+            resolve_chain_sweeps,
+        )
+
         c = self.config
         start = time.monotonic()
         resume_start = self.sweeps_done
         film_start = self.film
         scheds, ovfs = [], []
-        for sweep in range(self.sweeps_done, c.spp):
-            sched = self.scheduler.sweep(sweep)
-            with maybe_span(self.tracer, "dispatch sweep (mega bands)",
-                            sweep=sweep, devices=self.n_dev):
-                delta, ovf = self._sweep_delta(sched)
-            scheds.append(sched)
+        # same sweep-chaining policy as the plain renderer (one chained
+        # launch traces S sweeps; estimator-exact, PERF_NOTES §9d): the
+        # wrapper no longer pays a launch per sweep
+        chain = resolve_chain_sweeps(c, self._table_hbm, self.sweeps_done)
+        sweep = self.sweeps_done
+        while sweep < c.spp:
+            n_chunk = (
+                min(chain_chunk_size(c.spp - sweep, chain), c.spp - sweep)
+                if chain > 1
+                else 1
+            )
+            chunk = [
+                self.scheduler.sweep(s)
+                for s in range(sweep, sweep + n_chunk)
+            ]
+            with maybe_span(self.tracer, "dispatch chunk (mega bands)",
+                            sweeps=f"{sweep}..{sweep + n_chunk - 1}",
+                            devices=self.n_dev):
+                delta, ovf = self._chunk_delta(chunk)
+            scheds.extend(chunk)
             ovfs.append(ovf)
             self.film = self.film + delta
-            self.sweeps_done = sweep + 1
+            sweep += n_chunk
+            self.sweeps_done = sweep
             if progress is not None:
                 progress(self.sweeps_done, c.spp)
         seen = settle_mega_overflow(self, scheds, ovfs, film_start,

@@ -57,7 +57,9 @@ def _leaf_sig(x) -> str:
     return f"{shape}:{dtype}"
 
 
-def fingerprint(tag: str, args: tuple, static_kwargs: dict) -> str:
+def fingerprint(
+    tag: str, args: tuple, static_kwargs: dict, key_extra: dict | None = None
+) -> str:
     """Deterministic key covering everything that shapes the executable."""
     import jax
 
@@ -76,6 +78,7 @@ def fingerprint(tag: str, args: tuple, static_kwargs: dict) -> str:
         str(len(jax.devices())),
         str(pv),
         repr(sorted(static_kwargs.items())),
+        repr(sorted((key_extra or {}).items())),
     ]
     for a in args:
         leaves, treedef = jax.tree_util.tree_flatten(a)
@@ -87,12 +90,21 @@ def fingerprint(tag: str, args: tuple, static_kwargs: dict) -> str:
     return hashlib.sha256("\x1f".join(parts).encode()).hexdigest()[:32]
 
 
-def aot_call(jitted, args: tuple, static_kwargs: dict, tag: str):
+def aot_call(
+    jitted,
+    args: tuple,
+    static_kwargs: dict,
+    tag: str,
+    key_extra: dict | None = None,
+):
     """Call ``jitted(*args, **static_kwargs)`` through the executable cache.
 
     Bypasses (plain jit call) when: not on TPU, interpret mode, or disabled.
     On miss: lower+compile (deterministic isolated trace), serialize the
     executable to disk (atomic rename), keep it loaded in-process.
+    ``key_extra``: statics that specialize the computation but are baked in
+    the callee's CLOSURE rather than passed as kwargs (the sharded mega
+    sweep) — hashed into the fingerprint only.
     """
     import jax
 
@@ -104,7 +116,7 @@ def aot_call(jitted, args: tuple, static_kwargs: dict, tag: str):
     ):
         return jitted(*args, **static_kwargs)
 
-    key = fingerprint(tag, args, static_kwargs)
+    key = fingerprint(tag, args, static_kwargs, key_extra)
     exe = _executables.get(key)
     if exe is not None:
         stats["hits_mem"] += 1
