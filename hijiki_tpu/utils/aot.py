@@ -68,11 +68,17 @@ def fingerprint(
         pv = jax.extend.backend.get_backend().platform_version
     except Exception:
         pv = "?"
+    try:
+        import jaxlib
+
+        jaxlib_v = getattr(jaxlib, "__version__", "?")
+    except Exception:
+        jaxlib_v = "?"
     parts = [
         "v1",  # salt: bump to invalidate all entries on format changes
         tag,
         jax.__version__,
-        getattr(jax, "lib", jax).__name__,
+        jaxlib_v,
         d.platform,
         getattr(d, "device_kind", "?"),
         str(len(jax.devices())),

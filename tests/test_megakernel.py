@@ -986,14 +986,20 @@ def test_shadow_table_validation(setup):
         render_tiles(no_tbl, px, py, seeds, width=W, height=H,
                      interpret=True, shadow_tbl=True)
 
-    # resolver: auto ON exactly when a VMEM scene compiled the table
-    assert resolve_shadow_tbl(0, False, cs) is True
+    # resolver: auto is OFF everywhere — the on-chip A/B measured the
+    # shadow table a dead end (PERF_NOTES §12); explicit 1 still forces it
+    assert resolve_shadow_tbl(0, False, cs) is False
     assert resolve_shadow_tbl(0, True, cs) is False
     assert resolve_shadow_tbl(0, False, no_tbl) is False
     assert resolve_shadow_tbl(-1, False, cs) is False
     assert resolve_shadow_tbl(1, False, no_tbl) is True
     import os
 
+    os.environ["HIJIKI_SHADOW_TBL"] = "1"
+    try:
+        assert resolve_shadow_tbl(0, False, cs) is True
+    finally:
+        del os.environ["HIJIKI_SHADOW_TBL"]
     os.environ["HIJIKI_SHADOW_TBL"] = "-1"
     try:
         assert resolve_shadow_tbl(0, False, cs) is False
